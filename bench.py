@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+`value` is total wall-seconds across headline queries (lower is better);
+`turns_per_sec` reports validation throughput on the synthetic transcript
+table (the BASELINE.json headline metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("jsonschema-go-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+
+
+def run_noop(df):
+    """Force full execution without driver materialization."""
+    return df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from jsonschema_go_spark.queries import get_queries
+    from jsonschema_go_spark.compile import compile_table
+    from jsonschema_go_spark.sources.transcripts import (
+        generate_transcripts,
+        transcript_table_rule,
+    )
+
+    timings: dict[str, float] = {}
+    queries = get_queries()
+
+    # warm the JVM/codegen once on the smallest table
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        run_noop(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # transcript validation throughput (turns/sec) — the BASELINE metric.
+    # Scale transcript volume with the bench sf (~600k turns at sf0.1).
+    n_convs = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}.get(sf, 10_000)
+    tdf = generate_transcripts(spark, num_convs=n_convs, seed=42).cache()
+    n_turns = tdf.count()  # materialize cache; generation excluded from timing
+    plan = compile_table(transcript_table_rule(), tdf.schema)
+    t0 = time.perf_counter()
+    run_noop(plan.flags(tdf, ["conv_id", "turn_idx"]))
+    run_noop(plan.violations(tdf, ["conv_id", "turn_idx"], ordered=False))
+    run_noop(plan.verdicts(tdf, "conv_id"))
+    validate_sec = time.perf_counter() - t0
+    timings["transcript_validation"] = round(validate_sec, 4)
+    turns_per_sec = round(n_turns / validate_sec, 1) if validate_sec > 0 else 0.0
+    tdf.unpersist()
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "turns_per_sec": turns_per_sec,
+                "transcript_turns": n_turns,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

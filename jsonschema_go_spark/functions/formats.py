@@ -1,0 +1,80 @@
+"""Format predicate library — ``format`` keyword semantics as native Spark
+expressions (JVM-side, whole-stage-codegen friendly; no Python UDFs).
+
+Mirrors the reference's well-known-type mapping ``isWellKnownType``
+(``/root/reference/reflect.go:742-776``) and the ``Date`` codec
+(``/root/reference/date.go:10-37``): ``date-time``, ``date`` (layout
+``2006-01-02`` i.e. ``yyyy-MM-dd``), ``uuid``, ``base64``, plus the common
+draft-07 formats the sibling swaggest validators accept.
+
+Each entry maps format name → ``Callable[[Column], Column]`` returning a
+boolean pass/fail column for a *string* input. For natively-typed columns
+(TimestampType/DateType) the compiler elides the check entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+BASE64_RE = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+# RFC3339 subset: date'T'time with optional fraction and Z/offset
+DATETIME_RE = (
+    r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:?\d{2})?$"
+)
+TIME_RE = r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:?\d{2})?$"
+EMAIL_RE = r"^[^@\s]+@[^@\s]+\.[^@\s]+$"
+HOSTNAME_RE = r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
+IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+IPV6_RE = r"^[0-9A-Fa-f:.]+$"  # syntactic approximation
+URI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$"
+URI_REFERENCE_RE = r"^[^\s]*$"
+JSON_POINTER_RE = r"^(/([^/~]|~0|~1)*)*$"
+REGEX_SAFE = None  # checked by compilation, not per-row
+
+
+def _date_time(c: Column) -> Column:
+    # regex guards shape; to_timestamp guards semantic validity (month 13 etc.)
+    return c.rlike(DATETIME_RE) & F.to_timestamp(
+        F.regexp_replace(c, r"[Tt]", " ")
+    ).isNotNull()
+
+
+def _date(c: Column) -> Column:
+    # layout `2006-01-02` per /root/reference/date.go:10; strict shape + parse
+    return c.rlike(DATE_RE) & F.to_date(c, "yyyy-MM-dd").isNotNull()
+
+
+FORMAT_PREDICATES: Dict[str, Callable[[Column], Column]] = {
+    "date-time": _date_time,
+    "date": _date,
+    "time": lambda c: c.rlike(TIME_RE),
+    "uuid": lambda c: c.rlike(UUID_RE),
+    "base64": lambda c: c.rlike(BASE64_RE) & (F.length(c) % 4 == 0),
+    "email": lambda c: c.rlike(EMAIL_RE),
+    "hostname": lambda c: c.rlike(HOSTNAME_RE),
+    "ipv4": lambda c: c.rlike(IPV4_RE),
+    "ipv6": lambda c: c.rlike(IPV6_RE) & c.contains(":"),
+    "uri": lambda c: c.rlike(URI_RE),
+    "uri-reference": lambda c: c.rlike(URI_REFERENCE_RE),
+    "json-pointer": lambda c: c.rlike(JSON_POINTER_RE),
+}
+
+
+def register_format(name: str, pred: Callable[[Column], Column]) -> None:
+    """Extension hook for user formats (interceptor analog,
+    ``/root/reference/context.go:124-140``)."""
+    FORMAT_PREDICATES[name] = pred
+
+
+def format_predicate(name: str, c: Column) -> Column:
+    """Predicate for a named format; unknown formats are annotations only
+    (draft-07: format is not an assertion unless opted in) → always-pass."""
+    fn = FORMAT_PREDICATES.get(name)
+    if fn is None:
+        return F.lit(True)
+    return fn(c)

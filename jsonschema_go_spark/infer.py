@@ -1,0 +1,133 @@
+"""Schema inference — Spark ``StructType`` → :class:`TableRule` skeleton.
+
+The Spark analog of the reference's reflection core: ``kindSwitch``
+(``/root/reference/reflect.go:839-973``) dispatching physical types to JSON
+types, ``walkProperties`` (``reflect.go:1065-1254``) walking fields, well-known
+formats (``reflect.go:742-776``), nullability from field metadata
+(``reflect.go:1320-1393``), and unsigned→``minimum: 0``
+(``reflect.go:955-957`` — Spark has no unsigned types, so this arrives only
+via the ``unsigned`` overlay flag, and keeps ``reflect_unsigned`` so the rule
+stays trivial per ``helper.go:200-212``).
+
+A rule *overlay* (dict of column → keyword dict) plays the role of Go field
+tags (``README.md:73-113``): constraints merged onto the inferred skeleton.
+Runtime-defined overlays mirror the virtual ``Struct``
+(``/root/reference/struct.go:13-59``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import types as T
+
+from .rules import Rule, TableRule
+
+
+def infer_column_rule(dtype: T.DataType, nullable: bool = True) -> Rule:
+    """Map one Spark type to a rule skeleton (kindSwitch analog)."""
+    r = Rule()
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        r.type = "integer"
+    elif isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        r.type = "number"
+    elif isinstance(dtype, T.BooleanType):
+        r.type = "boolean"
+    elif isinstance(dtype, T.StringType):
+        r.type = "string"
+    elif isinstance(dtype, T.BinaryType):
+        # []byte → string+base64 (reflect.go:754-759)
+        r.type = "string"
+        r.format = "base64"
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # time.Time → date-time (reflect.go:761-766)
+        r.type = "string"
+        r.format = "date-time"
+    elif isinstance(dtype, T.DateType):
+        # jsonschema.Date → date (date.go:10-13)
+        r.type = "string"
+        r.format = "date"
+    elif isinstance(dtype, T.ArrayType):
+        r.type = "array"
+        r.items = infer_column_rule(dtype.elementType, dtype.containsNull)
+    elif isinstance(dtype, T.MapType):
+        # map → object + additionalProperties (reflect.go:856-900)
+        r.type = "object"
+        r.additional_properties = infer_column_rule(
+            dtype.valueType, dtype.valueContainsNull
+        )
+    elif isinstance(dtype, T.StructType):
+        # struct → object + properties (walkProperties analog)
+        r.type = "object"
+        r.properties = {
+            f.name: infer_column_rule(f.dataType, f.nullable) for f in dtype.fields
+        }
+        r.required = [f.name for f in dtype.fields if not f.nullable] or None
+    else:
+        # interface{} analog: unconstrained (reflect.go:432-434)
+        pass
+    if nullable and r.type is not None:
+        r.add_type("null")  # pointer → nullable (reflect.go:439-441)
+    return r
+
+
+_OVERLAY_KEYS = {
+    # field-tag vocabulary (README.md:73-113) → Rule attributes
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
+    "minLength", "maxLength", "pattern", "format", "enum", "const", "default",
+    "minItems", "maxItems", "uniqueItems", "title", "description", "required",
+    "nullable", "unsigned", "items", "contains", "minProperties", "maxProperties",
+}
+
+
+def infer_table_rule(
+    schema: T.StructType,
+    overlay: Optional[dict] = None,
+    name: str = "table",
+) -> TableRule:
+    """StructType + constraint overlay → TableRule.
+
+    ``overlay`` maps column → dict of draft-07 keywords (plus engine keys
+    ``required``/``nullable``/``unsigned`` mirroring the reference's
+    ``required:"true"``/``nullable:"true"`` tags, ``reflect.go:1144-1154``).
+    Table-scope keys in ``overlay``: ``"$unique"`` (list of column tuples),
+    ``"$contiguous"``, ``"$monotonic"``.
+    """
+    overlay = dict(overlay or {})
+    unique = [tuple(u) for u in overlay.pop("$unique", [])]
+    contiguous = list(overlay.pop("$contiguous", []))
+    monotonic = list(overlay.pop("$monotonic", []))
+
+    tr = TableRule(name=name, unique=unique, contiguous=contiguous, monotonic=monotonic)
+    required_cols = []
+    for f in schema.fields:
+        cfg = dict(overlay.pop(f.name, {}))
+        required = bool(cfg.pop("required", not f.nullable))
+        nullable = bool(cfg.pop("nullable", f.nullable and not required))
+        unsigned = bool(cfg.pop("unsigned", False))
+        rule = infer_column_rule(f.dataType, nullable)
+        for k, v in cfg.items():
+            if k not in _OVERLAY_KEYS:
+                rule.extra_properties[k] = v  # unknown keyword retention
+                continue
+            sub = Rule.from_dict({k: v}) if k in ("items", "contains") else None
+            if sub is not None:
+                setattr(rule, "items" if k == "items" else "contains",
+                        getattr(sub, "items" if k == "items" else "contains"))
+            else:
+                Rule.from_dict({k: v})  # validate the keyword value parses
+                merged = rule.to_dict()
+                merged[k] = v
+                keep_unsigned = rule.reflect_unsigned
+                rule = Rule.from_dict(merged)
+                rule.reflect_unsigned = keep_unsigned
+        if unsigned:
+            rule.minimum = 0 if rule.minimum is None else rule.minimum
+            rule.reflect_unsigned = True
+        if required:
+            required_cols.append(f.name)
+        tr.columns[f.name] = rule
+    if overlay:
+        raise ValueError(f"overlay references unknown columns: {sorted(overlay)}")
+    tr.metadata["required"] = required_cols
+    return tr

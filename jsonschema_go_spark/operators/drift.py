@@ -1,0 +1,154 @@
+"""Distribution-drift checks between partition snapshots (SURVEY.md §2.3).
+
+No reference analogue — this is the scale-added operator family mandated by
+the north rule. Both statistics are computed from *aggregated* counts, so the
+expensive part is one hash-agg over the data; the statistic itself runs on a
+tiny DataFrame (≤ distinct values / buckets) with broadcast joins.
+
+- **chi-square** (categorical): contingency table via ``groupBy(group,
+  value).count()``, expected counts from broadcast marginals, statistic as a
+  pure-SQL sum — no UDF at all.
+- **KS** (numeric): exact variant via global-ordered ECDF (test/oracle path),
+  binned variant (B buckets) for the 100 TB path where a global sort is not
+  acceptable: D_approx error ≤ max per-bucket mass.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def chi_square(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pearson chi-square of independence between ``group_col`` (snapshot id)
+    and ``value_col`` (categorical) → one row
+    ``(chi2, dof, n, n_groups, n_values)``.
+    """
+    obs = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_tot = obs.groupBy(group_col).agg(F.sum("o").alias("rt"))
+    col_tot = obs.groupBy(value_col).agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+
+    cells = (
+        obs.join(F.broadcast(row_tot), group_col)
+        .join(F.broadcast(col_tot), value_col)
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("rt") * F.col("ct") / F.col("n"))
+        .withColumn("term", F.pow(F.col("o") - F.col("e"), 2) / F.col("e"))
+    )
+    return cells.agg(
+        F.sum("term").alias("chi2"),
+        ((F.count_distinct(group_col) - 1) * (F.count_distinct(value_col) - 1))
+        .cast("long")
+        .alias("dof"),
+        F.max("n").cast("long").alias("n"),
+        F.count_distinct(group_col).cast("long").alias("n_groups"),
+        F.count_distinct(value_col).cast("long").alias("n_values"),
+    )
+
+
+def ks_exact(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D → one row ``(ks_d, n_a, n_b)``.
+
+    ECDF via cumulative window over the global value order. The window is
+    unpartitioned (single-task sort of the *aggregated distinct values*, not
+    the raw rows) — fine up to ~10^8 distinct values; beyond that use
+    :func:`ks_binned`.
+    """
+    a = (
+        df_a.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        df_b.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    merged = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = merged.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = merged.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    ).crossJoin(F.broadcast(tot))
+    return ecdf.agg(
+        F.max(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb"))).alias("ks_d"),
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"),
+    )
+
+
+def ks_binned(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    buckets: int = 1024,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """Approximate KS over B fixed-width bins — the 100 TB path.
+
+    One agg per side for (min,max) when bounds not given, one binned hash-agg
+    per side, then the cumulative scan runs over ≤B rows on a single tiny
+    task. Approximation error ≤ max per-bin probability mass.
+    → ``(ks_d, n_a, n_b, buckets)``.
+    """
+    va = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        bounds_a = df_a.agg(F.min(va).alias("mn"), F.max(va).alias("mx")).first()
+        bounds_b = df_b.agg(F.min(va).alias("mn"), F.max(va).alias("mx")).first()
+        lo = min(bounds_a["mn"], bounds_b["mn"])
+        hi = max(bounds_a["mx"], bounds_b["mx"])
+    span = (hi - lo) or 1.0
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(span) * buckets),
+                F.lit(0),
+            ),
+            F.lit(buckets - 1),
+        ).cast("int")
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    merged = binned(df_a, "ca").join(binned(df_b, "cb"), "bin", "full_outer").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = merged.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = merged.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    ).crossJoin(F.broadcast(tot))
+    return ecdf.agg(
+        F.max(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb"))).alias("ks_d"),
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"),
+        F.lit(buckets).cast("long").alias("buckets"),
+    )

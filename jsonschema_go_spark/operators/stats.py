@@ -1,0 +1,106 @@
+"""Per-column statistics (SURVEY.md §2.3).
+
+All computed in ONE aggregation pass per table (single shuffle-free partial
+agg + 1-row final agg), then exploded to tidy form — at 100 TB this is a
+single scan with map-side combine, no per-column jobs.
+
+- null fraction — `null` type semantics (``/root/reference/reflect.go:1332``)
+- distinct count — HyperLogLog (`approx_count_distinct`) by default; exact
+  `count_distinct` optional for oracle comparison
+- min / max — `minimum`/`maximum` analogs (``/root/reference/entities.go:29,31``)
+- length histogram — `minLength`/`maxLength` analogs
+  (``/root/reference/entities.go:33-34``) as log2-bucketed counts
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def column_stats(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    exact_distinct: bool = False,
+    hll_rsd: float = 0.02,
+) -> DataFrame:
+    """→ ``(column, row_count, null_count, null_fraction, distinct_count,
+    min_value, max_value)`` — one row per column, min/max stringified for a
+    uniform schema.
+    """
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"n_{i}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"d_{i}"))
+        else:
+            aggs.append(F.approx_count_distinct(col, rsd=hll_rsd).alias(f"d_{i}"))
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            aggs.append(F.lit(None).cast("string").alias(f"mn_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"mx_{i}"))
+        else:
+            aggs.append(F.min(col).cast("string").alias(f"mn_{i}"))
+            aggs.append(F.max(col).cast("string").alias(f"mx_{i}"))
+    wide = df.agg(*aggs)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_rows").alias("row_count"),
+                F.col(f"n_{i}").alias("null_count"),
+                (F.col(f"n_{i}") / F.col("_rows")).alias("null_fraction"),
+                F.col(f"d_{i}").alias("distinct_count"),
+                F.col(f"mn_{i}").alias("min_value"),
+                F.col(f"mx_{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def length_histogram(df: DataFrame, col: str, log2: bool = True) -> DataFrame:
+    """Character-length histogram of a string column.
+
+    → ``(bucket, lo, hi, cnt)`` where bucket b covers [2^b, 2^{b+1}) char
+    lengths (bucket -1 = empty string). Linear buckets with ``log2=False``.
+    """
+    ln = F.length(F.col(col))
+    if log2:
+        bucket = F.when(ln <= 0, F.lit(-1)).otherwise(
+            F.floor(F.log2(ln.cast("double")))
+        ).cast("int")
+        out = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return out.select(
+            "bucket",
+            F.when(F.col("bucket") < 0, F.lit(0)).otherwise(
+                F.pow(F.lit(2.0), F.col("bucket"))
+            ).cast("long").alias("lo"),
+            F.when(F.col("bucket") < 0, F.lit(0)).otherwise(
+                F.pow(F.lit(2.0), F.col("bucket") + 1) - 1
+            ).cast("long").alias("hi"),
+            "cnt",
+        ).orderBy("bucket")
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(ln.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("bucket").cast("int"),
+            F.col("bucket").cast("long").alias("lo"),
+            F.col("bucket").cast("long").alias("hi"),
+            "cnt",
+        )
+        .orderBy("bucket")
+    )

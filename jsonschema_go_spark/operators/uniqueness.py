@@ -1,0 +1,139 @@
+"""Table-scope uniqueness + referential contiguity — `uniqueItems` /
+`dependencies` (``/root/reference/entities.go:40,49``) lifted to inter-row
+constraints (SURVEY.md §2.3).
+
+Skew design: a hot ``conv_id`` holding 1% of 10^12 rows would melt a naive
+``groupBy(conv_id)``. Both operators therefore run **two-phase salted
+aggregation**: phase 1 groups by ``(key, salt)`` where the salt is a hash of
+the *inner* column (so each distinct inner value lands in exactly one salt
+bucket — per-bucket exact distinct counts add up to the exact global
+distinct), phase 2 merges the ≤``salt_buckets`` partials per key. Every
+phase-1 group is ≤ 1/S of the hot key; the phase-2 input is tiny.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicates(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key tuples appearing more than once → ``(*keys, dup_count)``.
+
+    Plain hash-agg count: Spark's partial aggregation does the map-side
+    combine, so even a hot key ships at most one partial row per task — no
+    explicit salting needed for a pure COUNT.
+    """
+    keys = list(keys)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_verdict(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One row: ``(total_rows, distinct_keys, duplicate_rows, passed)``."""
+    keys = list(keys)
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.sum("n").alias("total_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("duplicate_rows"),
+        (F.max("n") <= 1).alias("passed"),
+    )
+
+
+def contiguity(
+    df: DataFrame,
+    partition_by: str = "conv_id",
+    order_by: str = "turn_idx",
+    start: int = 0,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-group turn-chain check WITHOUT a window sort.
+
+    A group's ``order_by`` values are exactly the contiguous chain
+    ``start..start+n-1`` ⇔ ``min == start ∧ max == start+n-1 ∧
+    distinct == n ∧ no nulls`` — pure aggregation, so the hot-group problem
+    reduces to salted two-phase agg (salt = hash(order_by) % S keeps each
+    distinct order value in one bucket ⇒ sum of per-bucket exact distincts is
+    the exact global distinct).
+
+    → ``(partition_by, n_rows, n_distinct, min_val, max_val, contiguous)``.
+    """
+    salt = F.pmod(F.xxhash64(F.col(order_by)), F.lit(salt_buckets))
+    phase1 = (
+        df.groupBy(F.col(partition_by), salt.alias("_salt"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(F.col(order_by)).alias("_d"),
+            F.min(order_by).alias("_mn"),
+            F.max(order_by).alias("_mx"),
+            F.sum(F.col(order_by).isNull().cast("long")).alias("_nulls"),
+        )
+    )
+    out = phase1.groupBy(partition_by).agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum("_d").alias("n_distinct"),
+        F.min("_mn").alias("min_val"),
+        F.max("_mx").alias("max_val"),
+        F.sum("_nulls").alias("null_count"),
+    )
+    contiguous = (
+        (F.col("null_count") == 0)
+        & (F.col("min_val") == start)
+        & (F.col("max_val") == start + F.col("n_rows") - 1)
+        & (F.col("n_distinct") == F.col("n_rows"))
+    )
+    return out.select(
+        partition_by, "n_rows", "n_distinct", "min_val", "max_val",
+        contiguous.alias("contiguous"),
+    )
+
+
+def contiguity_violations(
+    df: DataFrame,
+    partition_by: str = "conv_id",
+    order_by: str = "turn_idx",
+    start: int = 0,
+) -> DataFrame:
+    """Per-row attribution of chain breaks via window lag — the fine-grained
+    path (SURVEY.md §2.3). Use :func:`contiguity` for the skew-safe verdict;
+    this window sorts each group in one task and is intended for drill-down
+    on the (small) set of already-failed groups.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    prev = F.lag(order_by).over(w)
+    gap = F.when(prev.isNull(), F.col(order_by) - start).otherwise(
+        F.col(order_by) - prev - 1
+    )
+    return (
+        df.select(partition_by, order_by, gap.alias("gap"))
+        .where(F.col("gap") != 0)
+        .withColumnRenamed(order_by, "observed_idx")
+    )
+
+
+def monotonic_violations(
+    df: DataFrame,
+    partition_by: str = "conv_id",
+    order_by: str = "turn_idx",
+    column: str = "ts",
+) -> DataFrame:
+    """Rows where ``column`` decreases along the ``order_by`` chain
+    (optional ts-monotonic invariant, FIXTURES.md F1)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    prev = F.lag(column).over(w)
+    return (
+        df.select(partition_by, order_by, F.col(column), prev.alias("_prev"))
+        .where(F.col("_prev").isNotNull() & (F.col(column) < F.col("_prev")))
+        .select(partition_by, order_by, F.col(column).alias("observed"),
+                F.col("_prev").alias("previous"))
+    )

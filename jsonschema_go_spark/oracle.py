@@ -1,0 +1,328 @@
+"""Oracle SQL compiler — the DuckDB mirror of :mod:`compile`.
+
+Compiles the same :class:`~jsonschema_go_spark.rules.Rule` documents to ANSI
+SQL boolean predicates so the driver's DuckDB oracle evaluates *identical
+semantics* to the Spark plan. This mirrors the reference's golden-output test
+strategy (SURVEY.md §5: `assertjson.EqualMarshal` equality on serialized
+artifacts → our value-hash equality on result tables).
+
+Semantics parity contract with :mod:`compile`:
+
+- NULL input passes every keyword except ``required``;
+- ``pattern`` is unanchored substring search (DuckDB ``regexp_matches`` ==
+  Spark ``rlike``; patterns restricted to the RE2∩Java common subset,
+  SURVEY.md §7);
+- ``multipleOf`` uses the identical float-tolerance formula;
+- string length is character-based on both sides;
+- array keywords use DuckDB list functions with fail-count==0 encoding of
+  ``forall``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+from .rules import ABSENT, Rule, RuleOrBool, TableRule
+from .compile import MULTIPLE_OF_EPS
+
+from .functions.formats import (
+    BASE64_RE,
+    DATETIME_RE,
+    DATE_RE,
+    EMAIL_RE,
+    IPV4_RE,
+    TIME_RE,
+    URI_RE,
+    UUID_RE,
+)
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return _q(str(v))
+
+
+_FORMAT_SQL = {
+    "date-time": lambda c: (
+        f"(regexp_matches({c}, {_q(DATETIME_RE)}) AND "
+        f"try_cast(regexp_replace({c}, '[Tt]', ' ') AS TIMESTAMP) IS NOT NULL)"
+    ),
+    "date": lambda c: (
+        f"(regexp_matches({c}, {_q(DATE_RE)}) AND try_cast({c} AS DATE) IS NOT NULL)"
+    ),
+    "time": lambda c: f"regexp_matches({c}, {_q(TIME_RE)})",
+    "uuid": lambda c: f"regexp_matches({c}, {_q(UUID_RE)})",
+    "base64": lambda c: (
+        f"(regexp_matches({c}, {_q(BASE64_RE)}) AND length({c}) % 4 = 0)"
+    ),
+    "email": lambda c: f"regexp_matches({c}, {_q(EMAIL_RE)})",
+    "ipv4": lambda c: f"regexp_matches({c}, {_q(IPV4_RE)})",
+    "uri": lambda c: f"regexp_matches({c}, {_q(URI_RE)})",
+}
+
+
+def sql_pred(
+    rule: RuleOrBool,
+    c: str,
+    elem_type: str = "scalar",
+) -> str:
+    """Compile a rule to ONE SQL boolean expression over expression ``c``.
+
+    ``elem_type`` hints the physical type for `type`-keyword residues:
+    ``scalar`` (typed column — type statically satisfied), ``double``
+    (fractional numeric: integer ⇒ integral check), ``string`` (stringly
+    ingest: cast checks), ``array``.
+    """
+    if rule is True:
+        return "TRUE"
+    if rule is False:
+        return "FALSE"
+
+    preds: List[str] = []
+
+    def add(p: Optional[str]) -> None:
+        if p:
+            preds.append(f"coalesce({p}, TRUE)")
+
+    # ---- type (data-level residue only; mirrors compile._type_check)
+    if rule.type is not None:
+        types = [rule.type] if isinstance(rule.type, str) else list(rule.type)
+        non_null = [t for t in types if t != "null"]
+        if "integer" in non_null and elem_type == "double":
+            add(f"({c} = floor({c}))")
+        elif elem_type == "string" and non_null and "string" not in non_null:
+            alts = []
+            for t in non_null:
+                if t == "integer":
+                    alts.append(f"regexp_matches({c}, '^-?\\d+(\\.0+)?$')")
+                elif t == "number":
+                    alts.append(f"try_cast({c} AS DOUBLE) IS NOT NULL")
+                elif t == "boolean":
+                    alts.append(f"lower({c}) IN ('true','false')")
+                else:
+                    alts.append("FALSE")
+            add("(" + " OR ".join(alts) + ")")
+
+    if rule.const is not ABSENT:
+        v = rule.const
+        add(f"({c} IS NULL)" if v is None else f"({c} = {_lit(v)})")
+    if rule.enum:
+        non_null = [v for v in rule.enum if v is not None]
+        p = f"({c} IN (" + ", ".join(_lit(v) for v in non_null) + "))"
+        if any(v is None for v in rule.enum):
+            p = f"({p} OR {c} IS NULL)"
+        add(p)
+
+    # ---- numeric
+    if rule.minimum is not None:
+        add(f"({c} >= {_lit(rule.minimum)})")
+    if rule.maximum is not None:
+        add(f"({c} <= {_lit(rule.maximum)})")
+    if rule.exclusive_minimum is not None:
+        add(f"({c} > {_lit(rule.exclusive_minimum)})")
+    if rule.exclusive_maximum is not None:
+        add(f"({c} < {_lit(rule.exclusive_maximum)})")
+    if rule.multiple_of is not None:
+        m = float(rule.multiple_of)
+        if m.is_integer() and elem_type == "integer":
+            add(f"(({c} % {int(m)}) = 0)")
+        else:
+            # identical tolerance formula as compile.py
+            q = f"(CAST({c} AS DOUBLE) / {m!r})"
+            add(f"(abs({q} - round({q}, 0)) <= {MULTIPLE_OF_EPS!r})")
+
+    # ---- string
+    sc = c if elem_type != "timestamp" else f"CAST({c} AS VARCHAR)"
+    if rule.min_length:
+        add(f"(length({sc}) >= {int(rule.min_length)})")
+    if rule.max_length is not None:
+        add(f"(length({sc}) <= {int(rule.max_length)})")
+    if rule.pattern is not None:
+        add(f"regexp_matches({sc}, {_q(rule.pattern)})")
+    if rule.format is not None and elem_type not in ("timestamp", "date"):
+        fmt = _FORMAT_SQL.get(rule.format)
+        if fmt is not None:
+            add(fmt(sc))
+
+    # ---- array (DuckDB list functions)
+    if elem_type == "array":
+        if rule.min_items:
+            add(f"(len({c}) >= {int(rule.min_items)})")
+        if rule.max_items is not None:
+            add(f"(len({c}) <= {int(rule.max_items)})")
+        if rule.unique_items:
+            add(f"(len(list_distinct({c})) = len({c}))")
+        if rule.contains is not None:
+            sub = sql_pred(rule.contains, "x")
+            add(f"(len(list_filter({c}, x -> coalesce({sub}, TRUE))) > 0)")
+        if rule.items is not None:
+            if isinstance(rule.items, list):
+                parts = []
+                for i, s in enumerate(rule.items):
+                    sub = sql_pred(s, f"{c}[{i + 1}]")
+                    parts.append(f"(len({c}) <= {i} OR coalesce({sub}, TRUE))")
+                add("(" + " AND ".join(parts) + ")")
+                if rule.additional_items not in (None, True):
+                    n = len(rule.items)
+                    sub = sql_pred(rule.additional_items, "x")
+                    add(
+                        f"(len({c}) <= {n} OR len(list_filter({c}[{n + 1}:], "
+                        f"x -> NOT coalesce({sub}, TRUE))) = 0)"
+                    )
+            else:
+                sub = sql_pred(rule.items, "x")
+                add(f"(len(list_filter({c}, x -> NOT coalesce({sub}, TRUE))) = 0)")
+
+    # ---- composition
+    if rule.all_of:
+        add("(" + " AND ".join(f"coalesce({sql_pred(s, c, elem_type)}, TRUE)" for s in rule.all_of) + ")")
+    if rule.any_of:
+        add("(" + " OR ".join(f"coalesce({sql_pred(s, c, elem_type)}, FALSE)" for s in rule.any_of) + ")")
+    if rule.one_of:
+        terms = " + ".join(
+            f"(CASE WHEN coalesce({sql_pred(s, c, elem_type)}, FALSE) THEN 1 ELSE 0 END)"
+            for s in rule.one_of
+        )
+        add(f"(({terms}) = 1)")
+    if rule.not_ is not None:
+        add(f"(NOT coalesce({sql_pred(rule.not_, c, elem_type)}, FALSE))")
+    if rule.if_ is not None:
+        if_p = f"coalesce({sql_pred(rule.if_, c, elem_type)}, FALSE)"
+        then_p = f"coalesce({sql_pred(rule.then, c, elem_type)}, TRUE)" if rule.then is not None else "TRUE"
+        else_p = f"coalesce({sql_pred(rule.else_, c, elem_type)}, TRUE)" if rule.else_ is not None else "TRUE"
+        add(f"(CASE WHEN {if_p} THEN {then_p} ELSE {else_p} END)")
+
+    if not preds:
+        return "TRUE"
+    body = " AND ".join(preds)
+    return f"({c} IS NULL OR ({body}))"
+
+
+_KEYWORD_ORDER = [
+    "type", "const", "enum", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
+    "format", "minItems", "maxItems", "uniqueItems", "contains", "items",
+    "additionalItems", "allOf", "anyOf", "oneOf", "not", "if",
+]
+
+
+def keyword_preds_sql(rule: Rule, c: str, elem_type: str = "scalar") -> List[tuple]:
+    """Per-keyword (keyword, sql_pred) mirroring ``compile._keyword_preds``
+    granularity for summary parity. Each predicate NULL-guards on its own."""
+    out = []
+    for kw in _KEYWORD_ORDER:
+        single = Rule()
+        present = False
+        if kw == "type" and rule.type is not None:
+            single.type, present = rule.type, True
+        elif kw == "const" and rule.const is not ABSENT:
+            single.const, present = rule.const, True
+        elif kw == "enum" and rule.enum:
+            single.enum, present = rule.enum, True
+        elif kw == "minimum" and rule.minimum is not None:
+            single.minimum, present = rule.minimum, True
+        elif kw == "maximum" and rule.maximum is not None:
+            single.maximum, present = rule.maximum, True
+        elif kw == "exclusiveMinimum" and rule.exclusive_minimum is not None:
+            single.exclusive_minimum, present = rule.exclusive_minimum, True
+        elif kw == "exclusiveMaximum" and rule.exclusive_maximum is not None:
+            single.exclusive_maximum, present = rule.exclusive_maximum, True
+        elif kw == "multipleOf" and rule.multiple_of is not None:
+            single.multiple_of, present = rule.multiple_of, True
+        elif kw == "minLength" and rule.min_length:
+            single.min_length, present = rule.min_length, True
+        elif kw == "maxLength" and rule.max_length is not None:
+            single.max_length, present = rule.max_length, True
+        elif kw == "pattern" and rule.pattern is not None:
+            single.pattern, present = rule.pattern, True
+        elif kw == "format" and rule.format is not None:
+            single.format, present = rule.format, True
+        elif kw == "minItems" and rule.min_items:
+            single.min_items, present = rule.min_items, True
+        elif kw == "maxItems" and rule.max_items is not None:
+            single.max_items, present = rule.max_items, True
+        elif kw == "uniqueItems" and rule.unique_items:
+            single.unique_items, present = rule.unique_items, True
+        elif kw == "contains" and rule.contains is not None:
+            single.contains, present = rule.contains, True
+        elif kw == "items" and rule.items is not None:
+            single.items, present = rule.items, True
+        elif (
+            kw == "additionalItems"
+            and isinstance(rule.items, list)
+            and rule.additional_items not in (None, True)
+        ):
+            single.items = [True] * len(rule.items)
+            single.additional_items = rule.additional_items
+            present = True
+        elif kw == "allOf" and rule.all_of:
+            single.all_of, present = rule.all_of, True
+        elif kw == "anyOf" and rule.any_of:
+            single.any_of, present = rule.any_of, True
+        elif kw == "oneOf" and rule.one_of:
+            single.one_of, present = rule.one_of, True
+        elif kw == "not" and rule.not_ is not None:
+            single.not_, present = rule.not_, True
+        elif kw == "if" and rule.if_ is not None:
+            single.if_, single.then, single.else_ = rule.if_, rule.then, rule.else_
+            present = True
+        if present:
+            p = sql_pred(single, c, elem_type)
+            if p == "TRUE":
+                # statically-satisfied residue (e.g. `type` on a typed
+                # column) — compile.py emits no check either
+                continue
+            out.append((kw, p))
+    return out
+
+
+def summary_sql(
+    table_rule: TableRule,
+    table: str,
+    elem_types: Optional[dict] = None,
+    elide_trivial: bool = True,
+) -> str:
+    """Oracle for ``ValidationPlan.summary``: one row per compiled check
+    ``(rule_id, fail_count, row_count)``.
+
+    ``elem_types`` maps column → type hint (see :func:`sql_pred`). The check
+    list must match :func:`compile.compile_table` exactly (same rule_ids),
+    including ``required`` checks and IsTrivial elision.
+    """
+    elem_types = elem_types or {}
+    required = set(table_rule.metadata.get("required", []))
+    selects = []
+    for col, rule in table_rule.columns.items():
+        et = elem_types.get(col, "scalar")
+        if col in required:
+            selects.append(
+                (f"{col}.required", f"({col} IS NOT NULL)")
+            )
+        if rule is True:
+            continue
+        if rule is False:
+            selects.append((f"{col}.false", "FALSE"))
+            continue
+        if elide_trivial and rule.is_trivial():
+            continue
+        for kw, p in keyword_preds_sql(rule, col, et):
+            # NULL input passes (required handled above)
+            selects.append((f"{col}.{kw}", f"({col} IS NULL OR coalesce({p}, TRUE))"))
+    if not selects:
+        return f"SELECT CAST(NULL AS VARCHAR) rule_id, CAST(NULL AS BIGINT) fail_count, CAST(NULL AS BIGINT) row_count WHERE FALSE"
+    parts = [
+        f"SELECT {_q(rid)} AS rule_id, "
+        f"SUM(CASE WHEN NOT ({p}) THEN 1 ELSE 0 END)::BIGINT AS fail_count, "
+        f"COUNT(*)::BIGINT AS row_count FROM {table}"
+        for rid, p in selects
+    ]
+    return " UNION ALL ".join(parts)

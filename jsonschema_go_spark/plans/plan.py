@@ -1,0 +1,150 @@
+"""ValidationPlan — the compiled, executable form of a TableRule.
+
+One pass over the data computes every check (single ``select`` — Catalyst
+fuses all predicates into one whole-stage-codegen stage; the scan reads only
+the columns that non-trivial rules touch, so IsTrivial elision
+(``/root/reference/helper.go:194``) turns directly into parquet column
+pruning).
+
+Outputs (SURVEY.md §2.3):
+
+- violation rows ``(keys..., rule_id, column, keyword, observed, expected)``
+  via ``F.array`` of violation structs + ``explode`` of failures — the
+  ``ExtraProperties``-style detail retention analog;
+- per-partition pass/fail verdicts via partial+final hash-agg (the
+  ``SchemaOrBool`` boolean-verdict form, ``/root/reference/entities.go:620``);
+- per-rule summary counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..compile import CompiledCheck, CompileOptions
+from ..rules import TableRule
+
+VIOLATION_COLS = ("rule_id", "column", "keyword", "observed", "expected")
+
+
+@dataclass
+class ValidationPlan:
+    table_rule: TableRule
+    checks: List[CompiledCheck]
+    options: CompileOptions = field(default_factory=CompileOptions)
+
+    @property
+    def rule_ids(self) -> List[str]:
+        return [c.rule_id for c in self.checks]
+
+    # ------------------------------------------------------------------
+    def flags(self, df: DataFrame, keys: Sequence[str]) -> DataFrame:
+        """keys + one boolean pass-flag per check (codegen-friendly wide row)."""
+        cols = [F.col(k) for k in keys]
+        cols += [ch.predicate.alias(ch.rule_id) for ch in self.checks]
+        return df.select(*cols)
+
+    def violations(self, df: DataFrame, keys: Sequence[str], ordered: bool = True) -> DataFrame:
+        """Materialized violation rows, one per failed (row, check).
+
+        Stable ``keys`` ordering (byte-stable output per SURVEY.md §7) when
+        ``ordered`` — callers at scale can skip the sort and rely on
+        write-time sortWithinPartitions ordering instead.
+        """
+        if not self.checks:
+            # preserve key dtypes so the schema is stable whether or not any
+            # checks compiled (trivial-only plans included)
+            return df.select(
+                *[F.col(k) for k in keys],
+                *[F.lit(None).cast("string").alias(c) for c in VIOLATION_COLS],
+            ).limit(0)
+
+        viol_structs = [
+            F.when(
+                ~ch.predicate,
+                F.struct(
+                    F.lit(ch.rule_id).alias("rule_id"),
+                    F.lit(ch.column).alias("column"),
+                    F.lit(ch.keyword).alias("keyword"),
+                    F.col(ch.column).cast("string").alias("observed"),
+                    F.lit(ch.expected).alias("expected"),
+                ),
+            )
+            for ch in self.checks
+        ]
+        arr = F.filter(F.array(*viol_structs), lambda x: x.isNotNull())
+        out = (
+            df.select(*[F.col(k) for k in keys], F.explode(arr).alias("v"))
+            .select(*keys, *[F.col(f"v.{c}") for c in VIOLATION_COLS])
+        )
+        if ordered:
+            out = out.orderBy(*keys, "rule_id")
+        return out
+
+    def verdicts(
+        self,
+        df: DataFrame,
+        partition_by: Union[str, Column],
+        alias: str = "partition_key",
+    ) -> DataFrame:
+        """Per-partition pass/fail: ``(partition_key, rows, fail_rows,
+        violation_count, passed)``. Map-side partial agg keeps the shuffle to
+        one long per (partition, check)."""
+        pcol = F.col(partition_by) if isinstance(partition_by, str) else partition_by
+        if not self.checks:
+            return df.groupBy(pcol.alias(alias)).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.lit(0).cast("long").alias("fail_rows"),
+                F.lit(0).cast("long").alias("violation_count"),
+                F.lit(True).alias("passed"),
+            )
+        fail_flags = [(~ch.predicate).cast("long") for ch in self.checks]
+        any_fail = reduce(lambda a, b: a | b, [~ch.predicate for ch in self.checks])
+        return (
+            df.select(
+                pcol.alias(alias),
+                any_fail.cast("long").alias("_any_fail"),
+                reduce(lambda a, b: a + b, fail_flags).alias("_n_viol"),
+            )
+            .groupBy(alias)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("_any_fail").alias("fail_rows"),
+                F.sum("_n_viol").alias("violation_count"),
+                (F.sum("_any_fail") == 0).alias("passed"),
+            )
+        )
+
+    def summary(self, df: DataFrame) -> DataFrame:
+        """Per-rule pass/fail counts in ONE aggregation pass (no shuffle per
+        rule; single final row is unioned-by-explode into tidy form)."""
+        if not self.checks:
+            return df.sparkSession.createDataFrame(
+                [], "rule_id string, fail_count long, row_count long"
+            )
+        aggs = [
+            F.sum(F.when(~ch.predicate, 1).otherwise(0)).alias(f"f_{i}")
+            for i, ch in enumerate(self.checks)
+        ] + [F.count(F.lit(1)).alias("_rows")]
+        wide = df.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(ch.rule_id).alias("rule_id"),
+                    F.col(f"f_{i}").alias("fail_count"),
+                )
+                for i, ch in enumerate(self.checks)
+            ]
+        )
+        return (
+            wide.select(F.explode(pairs).alias("p"), F.col("_rows"))
+            .select(
+                F.col("p.rule_id").alias("rule_id"),
+                F.col("p.fail_count").cast("long").alias("fail_count"),
+                F.col("_rows").cast("long").alias("row_count"),
+            )
+        )

@@ -1,0 +1,441 @@
+"""Query registry — the driver-facing catalog of implemented operators.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with a
+DuckDB oracle SQL string over the same parquet tables. Validation-keyword
+queries generate BOTH sides from the same :class:`Rule` document
+(:mod:`compile` for Spark, :mod:`oracle` for SQL) — the engine's analog of
+the reference's golden-JSON test strategy (SURVEY.md §5).
+
+Every aggregate/computed column is aliased identically on both sides (driver
+hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .rules import Rule, TableRule
+from .compile import compile_table
+from .oracle import summary_sql
+from .operators import drift as drift_ops
+from .operators import stats as stats_ops
+from .operators import uniqueness as uniq_ops
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable, sql: str = None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ===========================================================================
+# 1. Validation-keyword summaries — rule doc compiled to BOTH engines
+# ===========================================================================
+
+# --- flagship: full validation pass over `events` --------------------------
+EVENTS_RULE = TableRule(
+    name="events",
+    columns={
+        "event_id": Rule(type="integer", minimum=0),
+        "ts": Rule(type="string", format="date-time"),
+        "user_id": Rule(type="integer", minimum=100),
+        "event_type": Rule(type="string", enum=["click", "view", "purchase", "signup"]),
+        "value": Rule(type="number", exclusive_minimum=0.0, maximum=400.0),
+        "props": Rule(type="string", min_length=5, pattern=r"^\{.*\}$"),
+    },
+    metadata={"required": ["event_id", "ts", "event_type"]},
+)
+EVENTS_ELEM_TYPES = {
+    "event_id": "integer", "user_id": "integer", "value": "double",
+    "event_type": "string", "props": "string", "ts": "timestamp",
+}
+
+
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "events")
+    plan = compile_table(EVENTS_RULE, df.schema)
+    return plan.summary(df)
+
+
+_register(
+    "validate_events",
+    q_validate_events,
+    summary_sql(EVENTS_RULE, "events", EVENTS_ELEM_TYPES),
+)
+
+# --- numeric keyword family over `lineitem` --------------------------------
+LINEITEM_RULE = TableRule(
+    name="lineitem",
+    columns={
+        "l_quantity": Rule(type="number", minimum=5, maximum=45, multiple_of=1.0),
+        "l_discount": Rule(type="number", exclusive_minimum=0.0, exclusive_maximum=0.1),
+        "l_linenumber": Rule(type="integer", minimum=1, maximum=6, multiple_of=2),
+        "l_extendedprice": Rule(type="number", multiple_of=0.01),
+    },
+    metadata={"required": ["l_quantity", "l_linenumber"]},
+)
+LINEITEM_ELEM_TYPES = {
+    "l_quantity": "double", "l_discount": "double",
+    "l_linenumber": "integer", "l_extendedprice": "double",
+}
+
+
+def q_kw_numeric_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "lineitem")
+    return compile_table(LINEITEM_RULE, df.schema).summary(df)
+
+
+_register(
+    "kw_numeric_lineitem",
+    q_kw_numeric_lineitem,
+    summary_sql(LINEITEM_RULE, "lineitem", LINEITEM_ELEM_TYPES),
+)
+
+# --- string keyword family over `documents` --------------------------------
+DOCUMENTS_RULE = TableRule(
+    name="documents",
+    columns={
+        "text": Rule(type="string", min_length=10, max_length=520),
+        "lang": Rule(type="string", enum=["en", "de", "fr"]),
+        "source": Rule(type="string", pattern=r"^src[0-9]+$"),
+        "n_chars": Rule(type="integer", minimum=1),
+        "doc_id": Rule(type="integer"),
+    },
+    metadata={"required": ["doc_id", "text"]},
+)
+DOCUMENTS_ELEM_TYPES = {
+    "text": "string", "lang": "string", "source": "string",
+    "n_chars": "integer", "doc_id": "integer",
+}
+
+
+def q_kw_string_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents")
+    return compile_table(DOCUMENTS_RULE, df.schema).summary(df)
+
+
+_register(
+    "kw_string_documents",
+    q_kw_string_documents,
+    summary_sql(DOCUMENTS_RULE, "documents", DOCUMENTS_ELEM_TYPES),
+)
+
+# --- array keyword family over `embeddings` --------------------------------
+EMBEDDINGS_RULE = TableRule(
+    name="embeddings",
+    columns={
+        "embedding": Rule(
+            type="array",
+            min_items=64,
+            max_items=64,
+            unique_items=True,
+            items=Rule(type="number", minimum=-1.0, maximum=1.0),
+            contains=Rule(minimum=0.3),
+        ),
+        "label": Rule(type="integer", minimum=0, maximum=9),
+    },
+    metadata={"required": ["vec_id", "embedding"]},
+)
+EMBEDDINGS_ELEM_TYPES = {"embedding": "array", "label": "integer"}
+
+
+def q_kw_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "embeddings")
+    tr = TableRule(
+        name=EMBEDDINGS_RULE.name,
+        columns=dict(EMBEDDINGS_RULE.columns),
+        metadata={"required": ["vec_id", "embedding"]},
+    )
+    # vec_id has no keyword constraints; required-only check
+    tr.columns.setdefault("vec_id", True)
+    return compile_table(tr, df.schema).summary(df)
+
+
+_EMB_TR = TableRule(
+    name="embeddings",
+    columns={**EMBEDDINGS_RULE.columns, "vec_id": True},
+    metadata={"required": ["vec_id", "embedding"]},
+)
+_register(
+    "kw_array_embeddings",
+    q_kw_array_embeddings,
+    summary_sql(_EMB_TR, "embeddings", EMBEDDINGS_ELEM_TYPES),
+)
+
+# --- composition keyword family over `orders` ------------------------------
+ORDERS_RULE = TableRule(
+    name="orders",
+    columns={
+        "o_totalprice": Rule(
+            type="number",
+            all_of=[Rule(minimum=0.0), Rule(maximum=600000.0)],
+            any_of=[Rule(maximum=50000.0), Rule(minimum=450000.0)],
+            one_of=[Rule(maximum=100000.0), Rule(minimum=200000.0)],
+            not_=Rule(minimum=500000.0),
+        ),
+        "o_orderstatus": Rule(
+            type="string",
+            if_=Rule(const="P"),
+            then=Rule(enum=["P"]),
+            else_=Rule(enum=["O", "F"]),
+        ),
+        "o_orderpriority": Rule(type="string", pattern=r"^[1-5]-[A-Z ]+$"),
+    },
+    metadata={"required": ["o_orderkey"]},
+)
+ORDERS_ELEM_TYPES = {
+    "o_totalprice": "double", "o_orderstatus": "string", "o_orderpriority": "string",
+}
+
+
+def q_kw_composition_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "orders")
+    tr = TableRule(
+        name="orders",
+        columns={**ORDERS_RULE.columns, "o_orderkey": True},
+        metadata={"required": ["o_orderkey"]},
+    )
+    return compile_table(tr, df.schema).summary(df)
+
+
+_ORD_TR = TableRule(
+    name="orders",
+    columns={**ORDERS_RULE.columns, "o_orderkey": True},
+    metadata={"required": ["o_orderkey"]},
+)
+_register(
+    "kw_composition_orders",
+    q_kw_composition_orders,
+    summary_sql(_ORD_TR, "orders", ORDERS_ELEM_TYPES),
+)
+
+
+# ===========================================================================
+# 2. Table-scope engine operators (SURVEY.md §2.3)
+# ===========================================================================
+
+def q_contiguity_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential contiguity: l_linenumber must chain 1..n per order."""
+    df = _read(spark, sf_dir, "lineitem")
+    per = uniq_ops.contiguity(df, "l_orderkey", "l_linenumber", start=1)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("contiguous").cast("long")).alias("contiguous_groups"),
+        F.sum((~F.col("contiguous")).cast("long")).alias("broken_groups"),
+    )
+
+
+_register(
+    "contiguity_lineitem",
+    q_contiguity_lineitem,
+    """
+    WITH per AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT l_linenumber) AS n_distinct,
+             MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx,
+             SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS nulls
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           SUM(CASE WHEN nulls = 0 AND mn = 1 AND mx = n_rows AND n_distinct = n_rows
+                    THEN 1 ELSE 0 END)::BIGINT AS contiguous_groups,
+           SUM(CASE WHEN nulls = 0 AND mn = 1 AND mx = n_rows AND n_distinct = n_rows
+                    THEN 0 ELSE 1 END)::BIGINT AS broken_groups
+    FROM per
+    """,
+)
+
+
+def q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, l_linenumber) uniqueness verdict (salted-agg semantics)."""
+    df = _read(spark, sf_dir, "lineitem")
+    return uniq_ops.uniqueness_verdict(df, ["l_orderkey", "l_linenumber"])
+
+
+_register(
+    "uniqueness_lineitem",
+    q_uniqueness_lineitem,
+    """
+    WITH per AS (
+      SELECT l_orderkey, l_linenumber, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT SUM(n)::BIGINT AS total_rows,
+           COUNT(*)::BIGINT AS distinct_keys,
+           SUM(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS duplicate_rows,
+           (MAX(n) <= 1) AS passed
+    FROM per
+    """,
+)
+
+
+def q_key_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order histogram — group-size distribution (skew probe)."""
+    df = _read(spark, sf_dir, "lineitem")
+    return (
+        df.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_lines")
+    )
+
+
+_register(
+    "key_histogram_orders",
+    q_key_histogram_orders,
+    """
+    SELECT n_lines, COUNT(*)::BIGINT AS n_orders FROM (
+      SELECT l_orderkey, COUNT(*)::BIGINT AS n_lines FROM lineitem GROUP BY 1
+    ) GROUP BY n_lines ORDER BY n_lines
+    """,
+)
+
+
+def q_col_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column stats (exact distinct for the oracle gate; the engine
+    default is HLL `approx_count_distinct`, see operators/stats.py)."""
+    df = _read(spark, sf_dir, "events")
+    out = stats_ops.column_stats(
+        df, ["event_id", "user_id", "event_type"], exact_distinct=True
+    )
+    return out.select(
+        "column",
+        "row_count",
+        "null_count",
+        F.round("null_fraction", 9).alias("null_fraction"),
+        "distinct_count",
+        "min_value",
+        "max_value",
+    )
+
+
+_COLSTATS_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column, COUNT(*)::BIGINT AS row_count,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_count,
+           round(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / COUNT(*), 9) AS null_fraction,
+           COUNT(DISTINCT {c})::BIGINT AS distinct_count,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM events
+    """
+    for c in ["event_id", "user_id", "event_type"]
+)
+_register("col_stats_events", q_col_stats_events, _COLSTATS_ORACLE)
+
+
+def q_length_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents")
+    return stats_ops.length_histogram(df, "text", log2=True)
+
+
+_register(
+    "length_histogram_documents",
+    q_length_histogram_documents,
+    """
+    SELECT bucket,
+           (CASE WHEN bucket < 0 THEN 0 ELSE CAST(pow(2.0, bucket) AS BIGINT) END) AS lo,
+           (CASE WHEN bucket < 0 THEN 0 ELSE CAST(pow(2.0, bucket + 1) - 1 AS BIGINT) END) AS hi,
+           COUNT(*)::BIGINT AS cnt
+    FROM (
+      SELECT CASE WHEN length(text) <= 0 THEN -1
+                  ELSE CAST(floor(log2(length(text))) AS INT) END AS bucket
+      FROM documents WHERE text IS NOT NULL
+    ) GROUP BY bucket ORDER BY bucket
+    """,
+)
+
+
+def q_chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift of event_type between two deterministic snapshots."""
+    df = _read(spark, sf_dir, "events").withColumn(
+        "snap", F.pmod(F.col("event_id"), F.lit(2))
+    )
+    out = drift_ops.chi_square(df, "snap", "event_type")
+    return out.select(
+        F.round("chi2", 6).alias("chi2"), "dof", "n", "n_groups", "n_values"
+    )
+
+
+_register(
+    "chi_square_events",
+    q_chi_square_events,
+    """
+    WITH obs AS (
+      SELECT event_id % 2 AS grp, event_type AS val, COUNT(*)::DOUBLE AS o
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rt AS (SELECT grp, SUM(o) AS rt FROM obs GROUP BY 1),
+    ct AS (SELECT val, SUM(o) AS ct FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT o.o, rt.rt * ct.ct / tot.n AS e
+      FROM obs o JOIN rt USING (grp) JOIN ct USING (val) CROSS JOIN tot
+    )
+    SELECT round(SUM(pow(o - e, 2) / e), 6) AS chi2,
+           ((SELECT COUNT(DISTINCT grp) FROM obs) - 1)
+             * ((SELECT COUNT(DISTINCT val) FROM obs) - 1) AS dof,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+           (SELECT COUNT(DISTINCT grp) FROM obs)::BIGINT AS n_groups,
+           (SELECT COUNT(DISTINCT val) FROM obs)::BIGINT AS n_values
+    FROM cells
+    """,
+)
+
+
+def q_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KS drift of `value` between two deterministic snapshots."""
+    ev = _read(spark, sf_dir, "events")
+    a = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    out = drift_ops.ks_exact(a, b, "value")
+    return out.select(F.round("ks_d", 6).alias("ks_d"), "n_a", "n_b")
+
+
+_register(
+    "ks_events",
+    q_ks_events,
+    """
+    WITH a AS (
+      SELECT CAST(value AS DOUBLE) AS v, COUNT(*) AS ca FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(value AS DOUBLE) AS v, COUNT(*) AS cb FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+      SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ),
+    e AS (
+      SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM m
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM m)
+    SELECT round(MAX(abs(cum_a / tot.na - cum_b / tot.nb)), 6) AS ks_d,
+           MAX(tot.na)::BIGINT AS n_a, MAX(tot.nb)::BIGINT AS n_b
+    FROM e CROSS JOIN tot
+    """,
+)
+
+
+def get_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def get_oracles() -> Dict[str, str]:
+    return dict(ORACLES)
