@@ -374,15 +374,17 @@ def _keyword_preds(
                     lambda k: _null_pass(sub(rule.additional_properties, F.element_at(c, k), vt)),
                 )
         if rule.pattern_properties:
+            # factory closure: the forall lambda must take exactly one arg
+            # (extra default args would receive the array index)
+            def _pp_pred(pat: str, s: RuleOrBool):
+                return lambda e: _null_pass(
+                    ~e.getField("key").rlike(pat)
+                    | _null_pass(sub(s, e.getField("value"), vt))
+                )
+
             for pat, s in sorted(rule.pattern_properties.items()):
                 _validate_java_regex(pat)
-                yield "patternProperties", F.forall(
-                    F.map_entries(c),
-                    lambda e, pat=pat, s=s: _null_pass(
-                        ~e.getField("key").rlike(pat)
-                        | _null_pass(sub(s, e.getField("value"), vt))
-                    ),
-                )
+                yield "patternProperties", F.forall(F.map_entries(c), _pp_pred(pat, s))
         if rule.property_names is not None:
             yield "propertyNames", F.forall(
                 keys, lambda k: _null_pass(sub(rule.property_names, k, T.StringType()))

@@ -434,8 +434,12 @@ _register(
 
 
 def get_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import queries_pipeline  # noqa: F401  (registers pipeline queries)
+
     return dict(QUERIES)
 
 
 def get_oracles() -> Dict[str, str]:
+    from . import queries_pipeline  # noqa: F401
+
     return dict(ORACLES)

@@ -1,0 +1,396 @@
+"""Training-data pipeline query registrations: text analysis, dedup families,
+similarity search, multimodal plumbing, transcript flagship.
+
+Oracle SQL strings are generated from the SAME shared fragments (regexes,
+normalization, hash constructions) the Spark operators use — cross-engine
+parity by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import text as tx
+from .queries import QUERIES, ORACLES, _read, _register
+
+# ---------------------------------------------------------------- fragments
+
+#: DuckDB normal form — MUST mirror operators/text.normalize
+NORM = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE_SQL = r"[.,;:!?'\"()\[\]{}-]"
+DIGIT_RE_SQL = r"[0-9]"
+
+_WC = (
+    "(CASE WHEN length({norm}) = 0 THEN 0 ELSE len(string_split({norm}, ' ')) END)"
+).format(norm=NORM.format(c="text"))
+_TC = f"len(regexp_extract_all(text, '{TOKEN_RE_SQL}'))"
+_PR = (
+    "(CASE WHEN length(text) = 0 THEN 0.0 "
+    f"ELSE len(regexp_extract_all(text, $${PUNCT_RE_SQL}$$)) / length(text) END)"
+)
+_DR = (
+    "(CASE WHEN length(text) = 0 THEN 0.0 "
+    f"ELSE len(regexp_extract_all(text, '{DIGIT_RE_SQL}')) / length(text) END)"
+)
+_SCORE = (
+    f"round(least({_WC} / 20.0, 1.0) * 0.5"
+    f" + (1.0 - least({_PR} * 4.0, 1.0)) * 0.25"
+    f" + (1.0 - least({_DR} * 4.0, 1.0)) * 0.25, 6)"
+)
+
+#: shingle list (word 3-grams, distinct) over the normal form
+_SHINGLES = (
+    "list_distinct(CASE WHEN len({w}) < 3 THEN []::VARCHAR[] "
+    "ELSE list_transform(generate_series(1, len({w}) - 2), "
+    "i -> array_to_string({w}[i:i+2], ' ')) END)"
+).format(w="words")
+_WORDS_CTE = (
+    "SELECT doc_id, string_split(" + NORM.format(c="text") + ", ' ') AS words "
+    "FROM documents WHERE text IS NOT NULL"
+)
+
+
+# ------------------------------------------------------------ text analysis
+
+def q_text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    feats = tx.quality_features(df)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("word_count").cast("long").alias("total_words"),
+        F.sum("token_count").cast("long").alias("total_tokens"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.sum((F.col("quality_score") < 0.5).cast("long")).alias("low_quality_docs"),
+    )
+
+
+_register(
+    "text_quality_documents",
+    q_text_quality_documents,
+    f"""
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM({_WC})::BIGINT AS total_words,
+           SUM({_TC})::BIGINT AS total_tokens,
+           round(AVG({_PR}), 6) AS avg_punct_ratio,
+           round(AVG({_SCORE}), 6) AS avg_quality,
+           SUM(CASE WHEN {_SCORE} < 0.5 THEN 1 ELSE 0 END)::BIGINT AS low_quality_docs
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+
+
+def q_text_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        df.select(tx.lang_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+def _stop_hits_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(tx.STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all({NORM.format(c='text')}, '{pat}'))"
+
+
+_LANG_CASE = f"""
+  CASE WHEN {_stop_hits_sql('en')} > 0 AND {_stop_hits_sql('en')} >= {_stop_hits_sql('de')}
+            AND {_stop_hits_sql('en')} >= {_stop_hits_sql('fr')} AND {_stop_hits_sql('en')} >= {_stop_hits_sql('es')} THEN 'en'
+       WHEN {_stop_hits_sql('de')} > 0 AND {_stop_hits_sql('de')} >= {_stop_hits_sql('fr')}
+            AND {_stop_hits_sql('de')} >= {_stop_hits_sql('es')} THEN 'de'
+       WHEN {_stop_hits_sql('fr')} > 0 AND {_stop_hits_sql('fr')} >= {_stop_hits_sql('es')} THEN 'fr'
+       WHEN {_stop_hits_sql('es')} > 0 THEN 'es'
+       ELSE 'und' END
+"""
+
+_register(
+    "text_langid_documents",
+    q_text_langid_documents,
+    f"""
+    SELECT {_LANG_CASE} AS lang_guess, COUNT(*)::BIGINT AS n
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+def q_text_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    fp = df.select(tx.fingerprint(F.col("text")).alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("distinct_fingerprints"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).alias("dup_docs"),
+    )
+
+
+_register(
+    "text_fingerprint_documents",
+    q_text_fingerprint_documents,
+    f"""
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT md5({NORM.format(c='text')}))::BIGINT AS distinct_fingerprints,
+           (COUNT(*) - COUNT(DISTINCT md5({NORM.format(c='text')})))::BIGINT AS dup_docs
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+
+
+# ------------------------------------------------------------------- dedup
+
+def _with_injected_dups(df: DataFrame) -> DataFrame:
+    """Deterministic duplicate injection: re-insert every 50th doc with a
+    shifted id — same construction in the oracle SQL."""
+    dups = df.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return df.unionByName(dups)
+
+
+_DUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0"
+)
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _with_injected_dups(_read(spark, sf_dir, "documents"))
+    groups = dd.exact_duplicates(df, "doc_id", "text")
+    return groups.groupBy("dup_count").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    ).orderBy("dup_count")
+
+
+_register(
+    "dedup_exact_documents",
+    q_dedup_exact_documents,
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    groups AS (
+      SELECT md5({NORM.format(c='text')}) AS fp, COUNT(*)::BIGINT AS dup_count
+      FROM corpus WHERE text IS NOT NULL GROUP BY 1 HAVING COUNT(*) > 1
+    )
+    SELECT dup_count, COUNT(*)::BIGINT AS n_groups FROM groups
+    GROUP BY dup_count ORDER BY dup_count
+    """,
+)
+
+
+def q_dedup_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.4)
+
+
+_register(
+    "dedup_jaccard_documents",
+    q_dedup_jaccard_documents,
+    f"""
+    WITH w AS ({_WORDS_CTE}),
+    base AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM base),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    freq AS (SELECT shingle, COUNT(*) AS freq FROM sh GROUP BY 1),
+    filtered AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)
+      WHERE freq.freq <= 1000
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM filtered a JOIN filtered b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common::BIGINT AS common,
+           sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b,
+           round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.4
+    """,
+)
+
+
+_MINHASH_N, _MINHASH_BANDS = 12, 4
+
+
+def q_dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents")
+    return dd.lsh_candidate_pairs(
+        df, "doc_id", "text", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    ).orderBy("id_a", "id_b")
+
+
+_mh_cols = ", ".join(
+    f"min(md5(shingle || '#{i}')) AS mh{i}" for i in range(_MINHASH_N)
+)
+_rpb = _MINHASH_N // _MINHASH_BANDS
+_band_selects = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_key FROM mh".format(
+        b=b, cols=", ".join(f"mh{b * _rpb + j}" for j in range(_rpb))
+    )
+    for b in range(_MINHASH_BANDS)
+)
+_register(
+    "dedup_minhash_documents",
+    q_dedup_minhash_documents,
+    f"""
+    WITH w AS ({_WORDS_CTE}),
+    base AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    nonempty AS (SELECT doc_id, shingles FROM base WHERE len(shingles) > 0),
+    sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM nonempty),
+    mh AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+    banded AS ({_band_selects})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b USING (band_idx, band_key)
+    WHERE a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+
+
+def q_dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return dd.simhash64(df, "doc_id", "text").orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    hexs = "0123456789abcdef"
+    sums = []
+    for b in range(64):
+        pos, shift = b // 4 + 1, 2 ** (3 - b % 4)
+        bit = (
+            f"(CAST(floor((strpos('{hexs}', substring(h, {pos}, 1)) - 1) / {shift}) AS BIGINT) % 2)"
+        )
+        sums.append(f"SUM({bit} * 2 - 1) AS s{b}")
+    digits = []
+    for d in range(16):
+        val = " + ".join(
+            f"(CASE WHEN s{d * 4 + j} > 0 THEN {2 ** (3 - j)} ELSE 0 END)"
+            for j in range(4)
+        )
+        digits.append(f"substring('{hexs}', ({val}) + 1, 1)")
+    concat = " || ".join(digits)
+    norm = NORM.format(c="text")
+    return f"""
+    WITH w AS (
+      SELECT doc_id, md5(word) AS h FROM (
+        SELECT doc_id, unnest(string_split({norm}, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
+      ) WHERE length(word) > 0
+    ),
+    s AS (SELECT doc_id, {", ".join(sums)} FROM w GROUP BY doc_id)
+    SELECT doc_id, {concat} AS simhash_hex FROM s ORDER BY doc_id
+    """
+
+
+_register("dedup_simhash_documents", q_dedup_simhash_documents, _simhash_sql())
+
+
+# -------------------------------------------------------- similarity search
+
+_ANN_QUERY_IDS = [0, 50, 100, 150, 200]
+
+
+def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(df, "vec_id", "embedding", _ANN_QUERY_IDS, k=5)
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+_NORM_V = "sqrt(" + _DOT.format(a="{a}", b="{a}") + ")"
+_COS = (
+    "round("
+    + _DOT.format(a="q.qv", b="c.embedding")
+    + " / ("
+    + _NORM_V.format(a="q.qv")
+    + " * "
+    + _NORM_V.format(a="c.embedding")
+    + "), 6)"
+)
+_register(
+    "ann_topk_embeddings",
+    q_ann_topk_embeddings,
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in _ANN_QUERY_IDS)})
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, {_COS} AS cos
+      FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.3, sample_mod=10
+    )
+
+
+_register(
+    "embedding_neardup",
+    q_embedding_neardup,
+    f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+    scored AS (
+      SELECT a.id_a, c.vec_id AS id_b, {_COS.replace("q.qv", "a.qv").replace("query_id", "id_a")} AS cos
+      FROM a CROSS JOIN embeddings c WHERE a.id_a < c.vec_id
+    )
+    SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3
+    """,
+)
+
+
+# ------------------------------------------------- multimodal + transcripts
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: binary-asset plumbing via Arrow mapInPandas (decode
+    is a deterministic fake — see operators/multimodal.py)."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    assets = mm.synthesize_assets(docs, "doc_id", "text")
+    feats = mm.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feat_sum"
+        ),
+    ).orderBy("asset_id")
+
+
+_register("multimodal_features", q_multimodal_features, None)
+
+
+def q_transcript_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only flagship: full transcript validation pipeline on the
+    deterministic synthetic table (scaled by sf); per-conversation verdicts.
+    Oracle-equivalent coverage lives in tests/test_transcripts.py where the
+    generated parquet is cross-checked row-for-row in DuckDB."""
+    from .compile import compile_table
+    from .sources.transcripts import generate_transcripts, transcript_table_rule
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_convs = {"0.001": 1000, "0.01": 10000, "0.1": 100000}.get(sf, 1000)
+    df = generate_transcripts(spark, num_convs=n_convs, seed=42)
+    plan = compile_table(transcript_table_rule(), df.schema)
+    return plan.verdicts(df, "conv_id").orderBy("partition_key")
+
+
+_register("transcript_validation", q_transcript_validation, None)

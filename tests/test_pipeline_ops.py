@@ -1,0 +1,131 @@
+"""Unit tests for training-data pipeline operators: shingles, minhash
+properties, simhash bounds, multimodal Arrow plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_go_spark.operators import dedup as dd
+from jsonschema_go_spark.operators import multimodal as mm
+from jsonschema_go_spark.operators import similarity as sim
+from jsonschema_go_spark.operators import text as tx
+
+
+def test_word_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("  x   y  z ",)], "t string"
+    )
+    rows = df.select(dd.word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == []  # fewer words than n
+    assert rows[2]["s"] == []
+    assert rows[3]["s"] == ["x y z"]  # whitespace-normalized
+
+
+def test_minhash_is_true_minhash(spark):
+    """Signature equals the python min over md5(shingle + '#i') — guards the
+    F.transform index-argument footgun."""
+    df = spark.createDataFrame([(1, "w1 w2 w3 w4 w5")], "id long, t string")
+    mh = dd.minhash_table(df, "id", "t", num_hashes=4).first()
+    shingles = {"w1 w2 w3", "w2 w3 w4", "w3 w4 w5"}
+    for i in range(4):
+        expected = min(
+            hashlib.md5((s + f"#{i}").encode()).hexdigest() for s in shingles
+        )
+        assert mh[f"mh{i}"] == expected, f"seed {i}"
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different text with other words entirely here")],
+        "id long, t string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.lsh_candidate_pairs(df, "id", "t").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # identical
+         (3, "alpha beta gamma delta epsilon eta"),    # 1 word changed
+         (4, "totally unrelated words here now ok")],
+        "id long, t string",
+    )
+    sigs = {r["id"]: r["simhash_hex"] for r in dd.simhash64(df, "id", "t").collect()}
+    assert all(len(s) == 16 for s in sigs.values())
+    assert sigs[1] == sigs[2]
+
+    def ham(a, b):
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dd.simhash_near_pairs(df, "id", "t", max_hamming=0).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_exact_duplicates_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], "id long, t string"
+    )
+    groups = dd.exact_duplicates(df, "id", "t").collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 2
+
+
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tk = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+          for r in sim.cosine_topk(df, "vec_id", "embedding", [0], k=3).collect()}
+    assert tk[(0, 1)] == (1, 1.0)       # identical vector first
+    assert tk[(0, 2)][1] == 0.0          # orthogonal
+    assert tk[(0, 3)] == (3, -1.0)       # opposite last
+
+
+def test_lsh_bucket_deterministic(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    b1 = df.select(sim.sign_lsh_bucket(F.col("embedding"), 4, planes=8).alias("b")).first()["b"]
+    b2 = df.select(sim.sign_lsh_bucket(F.col("embedding"), 4, planes=8).alias("b")).first()["b"]
+    assert b1 == b2 and len(b1) == 8 and set(b1) <= {"0", "1"}
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "world"), (3, None)], "doc_id long, text string"
+    )
+    assets = mm.synthesize_assets(docs, "doc_id", "text")
+    feats = mm.extract_features(assets)
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    assert len(rows) == 3
+    # checksum matches a locally-computed sha256 of the payload
+    assert rows[1]["checksum"] == hashlib.sha256(b"hello").hexdigest()
+    assert rows[1]["n_bytes"] == 5
+    assert len(rows[1]["features"]) == mm.FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in rows[1]["features"])
+    # deterministic fake decode
+    expected = [hashlib.sha256(b"hello").digest()[i] / 255.0 for i in range(mm.FEATURE_DIM)]
+    assert rows[1]["features"] == pytest.approx(expected)
+    # None text → empty payload, not a crash
+    assert rows[3]["n_bytes"] == 0
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("good text with enough words to score well over the threshold here ok fine yes",),
+         ("!!!???...",), ("",)],
+        "text string",
+    )
+    rows = tx.quality_features(df).select("quality_score").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert rows[0]["quality_score"] > rows[1]["quality_score"]
