@@ -152,7 +152,9 @@ def _type_check(types: List[str], c: Column, dtype: T.DataType) -> Optional[Colu
             if t == "integer":
                 preds.append(c.rlike(r"^-?\d+(\.0+)?$"))
             elif t == "number":
-                preds.append(c.cast("double").isNotNull())
+                # try_cast: Spark 4 ANSI mode makes plain cast THROW on
+                # malformed strings instead of yielding NULL
+                preds.append(c.try_cast("double").isNotNull())
             elif t == "boolean":
                 preds.append(F.lower(c).isin("true", "false"))
             else:  # array/object cannot inhabit a string column

@@ -38,15 +38,17 @@ REGEX_SAFE = None  # checked by compilation, not per-row
 
 
 def _date_time(c: Column) -> Column:
-    # regex guards shape; to_timestamp guards semantic validity (month 13 etc.)
-    return c.rlike(DATETIME_RE) & F.to_timestamp(
+    # regex guards shape; try_to_timestamp guards semantic validity (month 13
+    # etc.) — try_* because Spark 4 ANSI mode makes to_timestamp THROW on
+    # malformed input instead of returning NULL
+    return c.rlike(DATETIME_RE) & F.try_to_timestamp(
         F.regexp_replace(c, r"[Tt]", " ")
     ).isNotNull()
 
 
 def _date(c: Column) -> Column:
     # layout `2006-01-02` per /root/reference/date.go:10; strict shape + parse
-    return c.rlike(DATE_RE) & F.to_date(c, "yyyy-MM-dd").isNotNull()
+    return c.rlike(DATE_RE) & F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).isNotNull()
 
 
 FORMAT_PREDICATES: Dict[str, Callable[[Column], Column]] = {

@@ -1,0 +1,62 @@
+"""TableIO — thin storage seam so Iceberg is a config swap (SURVEY.md §7).
+
+The north rule targets Iceberg tables; this sandbox has plain parquet. All
+reads/writes go through this seam:
+
+- ``format="iceberg"`` → ``spark.read.format("iceberg").load(name)``,
+  appends via ``writeTo(name).append()``, snapshot ids available for drift
+  pairs;
+- ``format="parquet"`` (sandbox default) → path-based parquet with an
+  append mode fallback.
+
+Nothing else in the engine knows which one is active.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TableIO:
+    spark: SparkSession
+    format: str = "parquet"  # or "iceberg"
+    base_path: Optional[str] = None  # parquet root; ignored for iceberg
+
+    def _path(self, name: str) -> str:
+        if self.base_path is None:
+            return name
+        return f"{self.base_path.rstrip('/')}/{name}"
+
+    def read(self, name: str) -> DataFrame:
+        if self.format == "iceberg":
+            return self.spark.read.format("iceberg").load(name)
+        return self.spark.read.parquet(self._path(name))
+
+    def exists(self, name: str) -> bool:
+        try:
+            self.read(name).schema
+            return True
+        except Exception:
+            return False
+
+    def append(self, df: DataFrame, name: str, partition_by: Optional[list] = None) -> None:
+        if self.format == "iceberg":
+            df.writeTo(name).append()
+            return
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    def overwrite(self, df: DataFrame, name: str, partition_by: Optional[list] = None) -> None:
+        if self.format == "iceberg":
+            df.writeTo(name).createOrReplace()
+            return
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))

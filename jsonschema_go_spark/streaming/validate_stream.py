@@ -1,0 +1,99 @@
+"""Structured Streaming validation — the same compiled predicates applied to
+an unbounded transcript stream.
+
+The reference is batch-only (SURVEY.md §1.3), so this is scale-added surface:
+the *identical* ``ValidationPlan`` (rule → Column predicates are
+source-agnostic expressions) drives:
+
+- a **violation stream**: readStream → select(predicates) → explode failures
+  → append sink (no state, no watermark needed — violations are per-row);
+- **windowed violation counts**: event-time tumbling windows on ``ts`` with a
+  watermark for late turns — per-(window, rule) counts suitable for drift
+  alerting;
+- **per-conversation verdicts** via ``applyInPandasWithState``-free
+  aggregation: update-mode groupBy — at 10^12-turn scale, conversations are
+  bounded so state stays bounded by active-conversation count.
+
+Tested with file sources + ``trigger(availableNow=True)`` in
+tests/test_streaming.py (the sandbox has no Kafka; swapping the source is a
+one-line change).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.plan import ValidationPlan, VIOLATION_COLS
+
+
+def violation_stream(
+    plan: ValidationPlan, stream: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Per-row violation rows over a streaming DataFrame (append-safe:
+    stateless projection + explode)."""
+    # identical construction to ValidationPlan.violations minus the sort
+    # (global sort is meaningless on an unbounded stream)
+    return plan.violations(stream, list(keys), ordered=False)
+
+
+def windowed_violation_counts(
+    plan: ValidationPlan,
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window per-rule violation counts with late-data watermark."""
+    if not plan.checks:
+        raise ValueError("plan has no checks")
+    structs = F.array(
+        *[
+            F.when(~ch.predicate, F.lit(ch.rule_id)).otherwise(F.lit(None))
+            for ch in plan.checks
+        ]
+    )
+    failed = (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(F.filter(structs, lambda x: x.isNotNull())).alias("rule_id"))
+    )
+    return (
+        failed.groupBy(F.window(ts_col, window).alias("w"), "rule_id")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "rule_id",
+            "violations",
+        )
+    )
+
+
+def conversation_verdict_stream(
+    plan: ValidationPlan,
+    stream: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-conversation rolling verdicts (update/complete mode aggregation).
+
+    Watermark bounds state for event-time-keyed variants; keyed-by-conv_id
+    aggregations stay bounded by the number of live conversations.
+    """
+    from functools import reduce
+
+    if not plan.checks:
+        raise ValueError("plan has no checks")
+    any_fail = reduce(lambda a, b: a | b, [~ch.predicate for ch in plan.checks])
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(any_fail.cast("long")).alias("fail_rows"),
+            (F.sum(any_fail.cast("long")) == 0).alias("passed"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Checkpoint/lineage + runner tests: crash → resume processes only the
+remaining buckets; results equal an uninterrupted run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_go_spark import compile_table
+from jsonschema_go_spark.lineage import CheckpointedRun, LineageLog
+from jsonschema_go_spark.sources.io import TableIO
+from jsonschema_go_spark.sources.transcripts import (
+    generate_transcripts,
+    transcript_table_rule,
+)
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    df = generate_transcripts(spark, num_convs=200, seed=42)
+    plan = compile_table(transcript_table_rule(), df.schema)
+    io = TableIO(spark, base_path=str(tmp_path))
+    return spark, df, plan, io
+
+
+def test_crash_then_resume(env):
+    spark, df, plan, io = env
+    run = CheckpointedRun(io, "r1", num_buckets=4)
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run.run(df, plan, fail_on_bucket=2)
+
+    log = LineageLog(io)
+    assert log.completed_buckets("r1", "validate") == [0, 1]
+
+    result = run.run(df, plan, resume=True)
+    assert result["skipped"] == [0, 1]
+    assert result["processed"] == [2, 3]
+
+    # full-run equivalence: checkpointed union == direct violations
+    resumed = io.read("violations_r1").drop("bucket")
+    direct = plan.violations(df, ["conv_id", "turn_idx"], ordered=False)
+    assert resumed.count() == direct.count()
+    assert resumed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(resumed).count() == 0
+
+
+def test_resume_noop_when_complete(env):
+    spark, df, plan, io = env
+    run = CheckpointedRun(io, "r2", num_buckets=3)
+    r1 = run.run(df, plan)
+    assert len(r1["processed"]) == 3
+    r2 = run.run(df, plan, resume=True)
+    assert r2["processed"] == [] and len(r2["skipped"]) == 3
+    # no duplicate output rows from the no-op resume
+    direct = plan.violations(df, ["conv_id", "turn_idx"], ordered=False)
+    assert io.read("violations_r2").count() == direct.count()
+
+
+def test_lineage_metrics_recorded(env):
+    spark, df, plan, io = env
+    CheckpointedRun(io, "r3", num_buckets=2).run(df, plan)
+    lin = io.read("lineage").where(F.col("run_id") == "r3")
+    rows = lin.collect()
+    assert len(rows) == 2
+    assert all(r["status"] == "done" and r["wall_sec"] > 0 for r in rows)
+    assert sum(r["rows"] for r in rows) == df.count()
+
+
+def test_runner_cli(spark, tmp_path, monkeypatch):
+    """Drive the spark-submit entry point in-process (it reuses the active
+    session via getOrCreate)."""
+    from jsonschema_go_spark import runner
+
+    rc = runner.main(
+        [
+            "--synthetic", "100",
+            "--output", str(tmp_path / "out"),
+            "--run-id", "cli1",
+            "--buckets", "2",
+        ]
+    )
+    assert rc == 0
+    io = TableIO(spark, base_path=str(tmp_path / "out"))
+    assert io.read("verdicts_cli1").count() > 0
+    assert io.read("lineage").where(F.col("run_id") == "cli1").count() == 2

@@ -1,0 +1,86 @@
+"""Structured Streaming validation tests — file source + availableNow
+trigger; streaming results must equal the batch plan on the same data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_go_spark import compile_table
+from jsonschema_go_spark.sources.transcripts import (
+    generate_transcripts,
+    transcript_table_rule,
+)
+from jsonschema_go_spark.streaming.validate_stream import (
+    conversation_verdict_stream,
+    violation_stream,
+    windowed_violation_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    data_path = str(root / "in")
+    df = generate_transcripts(spark, num_convs=300, seed=42)
+    df.write.mode("overwrite").parquet(data_path)
+    batch = spark.read.parquet(data_path)
+    plan = compile_table(transcript_table_rule(), batch.schema)
+    stream = spark.readStream.schema(batch.schema).parquet(data_path)
+    return spark, batch, stream, plan, root
+
+
+def _run(query_df, mode, root, name):
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(root / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_violation_stream_equals_batch(stream_env):
+    spark, batch, stream, plan, root = stream_env
+    _run(violation_stream(plan, stream, ["conv_id", "turn_idx"]), "append", root, "viol")
+    got = spark.sql("SELECT * FROM viol")
+    want = plan.violations(batch, ["conv_id", "turn_idx"], ordered=False)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_windowed_counts(stream_env):
+    spark, batch, stream, plan, root = stream_env
+    _run(
+        windowed_violation_counts(plan, stream, window="1 hour", watermark="2 hours"),
+        "append", root, "wincnt",
+    )
+    got = spark.sql("SELECT SUM(violations) v FROM wincnt").first()["v"]
+    wr = plan.summary(batch).agg(F.sum("fail_count")).first()[0]
+    # append-mode emits only closed windows; availableNow closes all but the
+    # last watermark region — allow the tail to be withheld
+    assert got is None or got <= wr
+    # rerun in update mode would emit everything; check structure instead
+    cols = set(spark.sql("SELECT * FROM wincnt").columns)
+    assert cols == {"window_start", "window_end", "rule_id", "violations"}
+
+
+def test_conversation_verdicts_stream(stream_env):
+    spark, batch, stream, plan, root = stream_env
+    _run(
+        conversation_verdict_stream(plan, stream),
+        "complete", root, "verd",
+    )
+    got = spark.sql("SELECT * FROM verd")
+    want = plan.verdicts(batch, "conv_id").select(
+        F.col("partition_key").alias("conv_id"), "rows", "fail_rows", "passed"
+    )
+    assert got.count() == want.count()
+    joined = got.join(want, "conv_id")
+    mismatches = joined.where(
+        (got["rows"] != want["rows"]) | (got["passed"] != want["passed"])
+    )
+    assert mismatches.count() == 0
