@@ -69,11 +69,13 @@ def main() -> None:
     n_convs = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}.get(sf, 10_000)
     tdf = generate_transcripts(spark, num_convs=n_convs, seed=42).cache()
     n_turns = tdf.count()  # materialize cache; generation excluded from timing
+    from jsonschema_go_spark.lineage import bucket_expr
+
     plan = compile_table(transcript_table_rule(), tdf.schema)
     t0 = time.perf_counter()
     run_noop(plan.flags(tdf, ["conv_id", "turn_idx"]))
     run_noop(plan.violations(tdf, ["conv_id", "turn_idx"], ordered=False))
-    run_noop(plan.verdicts(tdf, "conv_id"))
+    run_noop(plan.verdicts(tdf, bucket_expr("conv_id", 1024)))
     validate_sec = time.perf_counter() - t0
     timings["transcript_validation"] = round(validate_sec, 4)
     turns_per_sec = round(n_turns / validate_sec, 1) if validate_sec > 0 else 0.0
