@@ -45,8 +45,8 @@ def cmd_generate(args) -> None:
     from jsonschema_go_spark.sources.transcripts import generate_transcripts
 
     df = generate_transcripts(spark, num_convs=args.convs, seed=42)
-    # realistic file-count for the scale: ~64 files
-    df.repartition(64).write.mode("overwrite").parquet(args.out)
+    # 256 files: fine-grained splits pack task waves evenly at high core counts
+    df.repartition(256).write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"generated_rows": n, "path": args.out}))
     spark.stop()
