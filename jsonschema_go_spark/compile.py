@@ -104,6 +104,10 @@ class CompileOptions:
     #: treat unknown `format` names as always-pass annotations
     strict_formats: bool = False
     multiple_of_eps: float = MULTIPLE_OF_EPS
+    #: post-compile plan-rewrite hook — Preparer analog
+    #: (``/root/reference/reflect.go:533-541``, ``helper.go:26-28``);
+    #: (ValidationPlan) -> ValidationPlan
+    prepare_plan: Optional[Callable] = None
 
 
 class CompileError(ValueError):
@@ -562,4 +566,7 @@ def compile_table(
         checks.extend(
             compile_column(col, r, schema[col].dataType, col in required_cols, registry, opts)
         )
-    return ValidationPlan(table_rule=table_rule, checks=checks, options=opts)
+    plan = ValidationPlan(table_rule=table_rule, checks=checks, options=opts)
+    if opts.prepare_plan is not None:
+        plan = opts.prepare_plan(plan)
+    return plan

@@ -80,10 +80,21 @@ _OVERLAY_KEYS = {
 }
 
 
+def apply_property_name_mapping(df, mapping: dict):
+    """Rename DataFrame columns per a property-name map before inference —
+    ``MakePropertyNameMapping`` analog (``/root/reference/reflect.go:976-984``,
+    ``PropertyNameMapping`` option ``context.go:201-207``)."""
+    out = df
+    for src, dst in mapping.items():
+        out = out.withColumnRenamed(src, dst)
+    return out
+
+
 def infer_table_rule(
     schema: T.StructType,
     overlay: Optional[dict] = None,
     name: str = "table",
+    type_mapping: Optional[dict] = None,
 ) -> TableRule:
     """StructType + constraint overlay → TableRule.
 
@@ -92,7 +103,13 @@ def infer_table_rule(
     ``required:"true"``/``nullable:"true"`` tags, ``reflect.go:1144-1154``).
     Table-scope keys in ``overlay``: ``"$unique"`` (list of column tuples),
     ``"$contiguous"``, ``"$monotonic"``.
+
+    ``type_mapping`` maps a Spark type's ``simpleString()`` (e.g.
+    ``"decimal(10,2)"``, ``"string"``) to a rule-JSON dict used INSTEAD of
+    the kindSwitch skeleton for columns of that type — ``AddTypeMapping``
+    analog (``/root/reference/reflect.go:103-114``).
     """
+    type_mapping = {k: v for k, v in (type_mapping or {}).items()}
     overlay = dict(overlay or {})
     unique = [tuple(u) for u in overlay.pop("$unique", [])]
     contiguous = list(overlay.pop("$contiguous", []))
@@ -105,7 +122,13 @@ def infer_table_rule(
         required = bool(cfg.pop("required", not f.nullable))
         nullable = bool(cfg.pop("nullable", f.nullable and not required))
         unsigned = bool(cfg.pop("unsigned", False))
-        rule = infer_column_rule(f.dataType, nullable)
+        mapped = type_mapping.get(f.dataType.simpleString())
+        if mapped is not None:
+            rule = Rule.from_dict(dict(mapped))
+            if nullable:
+                rule.add_type("null")
+        else:
+            rule = infer_column_rule(f.dataType, nullable)
         for k, v in cfg.items():
             if k not in _OVERLAY_KEYS:
                 rule.extra_properties[k] = v  # unknown keyword retention
