@@ -1,0 +1,105 @@
+"""Drift + stats operator tests: chi-square against scipy-free hand values,
+binned-KS approximation bound vs exact, HLL vs exact distinct counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_go_spark.operators import drift as dr
+from jsonschema_go_spark.operators import stats as st
+
+
+def test_chi_square_known_value(spark):
+    # 2x2 contingency: groups A/B, values x/y with counts A:(30,10) B:(10,30)
+    rows = (
+        [("A", "x")] * 30 + [("A", "y")] * 10 + [("B", "x")] * 10 + [("B", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = dr.chi_square(df, "grp", "val").first()
+    # expected = 20 per cell; chi2 = 4 * (10^2/20) = 20
+    assert out["chi2"] == pytest.approx(20.0, abs=1e-9)
+    assert out["dof"] == 1
+    assert out["n"] == 80 and out["n_groups"] == 2 and out["n_values"] == 2
+
+
+def test_chi_square_identical_distributions(spark):
+    rows = [("A", v) for v in "xxyyzz"] + [("B", v) for v in "xxyyzz"]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    assert dr.chi_square(df, "grp", "val").first()["chi2"] == pytest.approx(0.0)
+
+
+def test_ks_exact_disjoint_and_identical(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "value double")
+    b = spark.createDataFrame([(float(i + 1000),) for i in range(100)], "value double")
+    assert dr.ks_exact(a, b, "value").first()["ks_d"] == pytest.approx(1.0)
+    same = dr.ks_exact(a, a, "value").first()
+    assert same["ks_d"] == pytest.approx(0.0)
+    assert same["n_a"] == same["n_b"] == 100
+
+
+def test_ks_binned_close_to_exact(spark):
+    # deterministic pseudo-random-ish samples from two shifted distributions
+    a = spark.range(0, 2000).select(
+        (F.pmod(F.xxhash64("id", F.lit(1)), 1000) / 10.0).alias("value")
+    )
+    b = spark.range(0, 2000).select(
+        (F.pmod(F.xxhash64("id", F.lit(2)), 1000) / 10.0 + 20.0).alias("value")
+    )
+    exact = dr.ks_exact(a, b, "value").first()["ks_d"]
+    approx = dr.ks_binned(a, b, "value", buckets=512).first()["ks_d"]
+    # binned error bounded by max per-bin mass (~1/512 * spread factor)
+    assert abs(exact - approx) < 0.02
+    assert exact > 0.1  # the shift is detectable
+
+
+def test_column_stats_exact_vs_hll(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("mod100"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("with_nulls"),
+    )
+    exact = {r["column"]: r for r in st.column_stats(df, exact_distinct=True).collect()}
+    assert exact["id"]["distinct_count"] == 10_000
+    assert exact["mod100"]["distinct_count"] == 100
+    assert exact["with_nulls"]["null_count"] == 1000
+    assert exact["with_nulls"]["null_fraction"] == pytest.approx(0.1)
+    assert exact["id"]["min_value"] == "0" and exact["id"]["max_value"] == "9999"
+
+    hll = {r["column"]: r for r in st.column_stats(df, exact_distinct=False, hll_rsd=0.02).collect()}
+    # HLL within 3 rsd of truth
+    assert abs(hll["id"]["distinct_count"] - 10_000) < 10_000 * 0.06
+    assert abs(hll["mod100"]["distinct_count"] - 100) < 12
+
+
+def test_length_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [("",), ("a",), ("ab",), ("abc",), ("abcd",), (None,), ("abcdefgh",)],
+        "t string",
+    )
+    rows = {r["bucket"]: r for r in st.length_histogram(df, "t").collect()}
+    assert rows[-1]["cnt"] == 1      # empty string
+    assert rows[0]["cnt"] == 1       # length 1
+    assert rows[1]["cnt"] == 2       # lengths 2-3
+    assert rows[2]["cnt"] == 1       # lengths 4-7
+    assert rows[3]["cnt"] == 1       # length 8
+    assert rows[1]["lo"] == 2 and rows[1]["hi"] == 3
+
+
+def test_salted_contiguity_equals_window(spark):
+    """Agg-based (skew-safe) contiguity verdict must agree with the window
+    formulation on every group."""
+    from jsonschema_go_spark.operators import uniqueness as uq
+    from jsonschema_go_spark.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, num_convs=150, seed=42)
+    agg = {
+        r["conv_id"]: r["contiguous"]
+        for r in uq.contiguity(df, "conv_id", "turn_idx", 0).collect()
+    }
+    broken_by_window = {
+        r["conv_id"]
+        for r in uq.contiguity_violations(df, "conv_id", "turn_idx", 0).collect()
+    }
+    for conv, ok in agg.items():
+        assert ok == (conv not in broken_by_window), conv
