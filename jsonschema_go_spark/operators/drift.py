@@ -22,6 +22,57 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    categorical: Sequence[str] = (),
+    numeric: Sequence[str] = (),
+    ks_buckets: Optional[int] = None,
+    chi2_threshold: float = 30.0,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Snapshot-pair drift report: one row per checked column →
+    ``(column, test, statistic, drifted)``.
+
+    ``df_a``/``df_b`` are two partition snapshots (e.g. two Iceberg snapshot
+    reads through TableIO). Chi-square for categorical columns, KS for
+    numeric (exact by default, binned when ``ks_buckets`` is set — the
+    100 TB path). Thresholds are plain cutoffs; callers wanting p-values can
+    post-process the statistics.
+    """
+    from functools import reduce as _reduce
+
+    parts = []
+    for col in categorical:
+        both = df_a.select(F.lit("a").alias("_snap"), F.col(col)).unionByName(
+            df_b.select(F.lit("b").alias("_snap"), F.col(col))
+        )
+        stat = chi_square(both, "_snap", col).select(
+            F.lit(col).alias("column"),
+            F.lit("chi_square").alias("test"),
+            F.col("chi2").alias("statistic"),
+            (F.col("chi2") > chi2_threshold).alias("drifted"),
+        )
+        parts.append(stat)
+    for col in numeric:
+        ks = (
+            ks_binned(df_a, df_b, col, buckets=ks_buckets)
+            if ks_buckets
+            else ks_exact(df_a, df_b, col)
+        )
+        parts.append(
+            ks.select(
+                F.lit(col).alias("column"),
+                F.lit("ks").alias("test"),
+                F.col("ks_d").alias("statistic"),
+                (F.col("ks_d") > ks_threshold).alias("drifted"),
+            )
+        )
+    if not parts:
+        raise ValueError("no columns to check")
+    return _reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def chi_square(
     df: DataFrame,
     group_col: str,

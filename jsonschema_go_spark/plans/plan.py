@@ -126,6 +126,23 @@ class ValidationPlan:
             )
         )
 
+    def repair(self, df: DataFrame) -> DataFrame:
+        """Repair mode: apply ``default`` values to NULL cells.
+
+        ``default`` is an annotation, never an assertion
+        (``/root/reference/entities.go:23``; SURVEY.md §2.1) — the only
+        runtime effect it may have is this opt-in coalesce pass.
+        """
+        from ..rules import ABSENT, Rule
+
+        out = df
+        for col, rule in self.table_rule.columns.items():
+            if isinstance(rule, Rule) and rule.default is not ABSENT and rule.default is not None:
+                out = out.withColumn(
+                    col, F.coalesce(F.col(col), F.lit(rule.default).cast(dict(df.dtypes)[col]))
+                )
+        return out
+
     def summary(self, df: DataFrame) -> DataFrame:
         """Per-rule pass/fail counts in ONE aggregation pass (no shuffle per
         rule; single final row is unioned-by-explode into tidy form)."""

@@ -103,3 +103,46 @@ def test_salted_contiguity_equals_window(spark):
     }
     for conv, ok in agg.items():
         assert ok == (conv not in broken_by_window), conv
+
+
+def test_drift_report(spark):
+    from jsonschema_go_spark.operators.drift import drift_report
+
+    a = spark.range(0, 3000).select(
+        F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("cat"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 100) / 10.0).alias("num"),
+    )
+    b_same = spark.range(3000, 6000).select(
+        F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("cat"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 100) / 10.0).alias("num"),
+    )
+    b_shifted = spark.range(0, 3000).select(
+        F.when(F.col("id") % 10 == 0, "x").otherwise("y").alias("cat"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 100) / 10.0 + 5.0).alias("num"),
+    )
+    rows = {(r["column"], r["test"]): r for r in drift_report(
+        a, b_same, categorical=["cat"], numeric=["num"]).collect()}
+    assert rows[("cat", "chi_square")]["drifted"] is False
+    assert rows[("num", "ks")]["drifted"] is False
+    rows = {(r["column"], r["test"]): r for r in drift_report(
+        a, b_shifted, categorical=["cat"], numeric=["num"], ks_buckets=256).collect()}
+    assert rows[("cat", "chi_square")]["drifted"] is True
+    assert rows[("num", "ks")]["drifted"] is True
+
+
+def test_repair_mode(spark):
+    from jsonschema_go_spark import Rule, TableRule, compile_table
+
+    df = spark.createDataFrame(
+        [("a", None), (None, 5), ("c", 7)], "s string, n int"
+    )
+    tr = TableRule(columns={
+        "s": Rule(type="string", default="baz"),
+        "n": Rule(type="integer", default=0, minimum=0),
+    })
+    plan = compile_table(tr, df.schema)
+    # `default` never becomes a predicate (annotation-only)
+    assert all(c.keyword != "default" for c in plan.checks)
+    repaired = plan.repair(df).collect()
+    assert [r["s"] for r in repaired] == ["a", "baz", "c"]
+    assert [r["n"] for r in repaired] == [0, 5, 7]
