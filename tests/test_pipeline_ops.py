@@ -129,3 +129,37 @@ def test_quality_score_bounds(spark):
     rows = tx.quality_features(df).select("quality_score").collect()
     assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
     assert rows[0]["quality_score"] > rows[1]["quality_score"]
+
+
+def test_ivf_exhaustive_equals_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 100, 200]
+    brute = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+             for r in sim.cosine_topk(emb, "vec_id", "embedding", qids, k=5).collect()}
+    ivf_all = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+               for r in sim.ivf_topk(emb, "vec_id", "embedding", qids, k=5,
+                                     n_cells=8, n_probe=8).collect()}
+    assert ivf_all == brute
+
+
+def test_ivf_probed_subset(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = sim.ivf_topk(emb, "vec_id", "embedding", [0, 100], k=5,
+                       n_cells=8, n_probe=2).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) <= 5
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        cs = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_ivf_index_partitions_all_vectors(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = sim.ivf_index(emb, "vec_id", "embedding", n_cells=8)
+    assert idx.count() == emb.count()          # every vector in exactly one cell
+    assert idx.select("vec_id").distinct().count() == emb.count()
+    assert idx.select("cell").distinct().count() == 8
