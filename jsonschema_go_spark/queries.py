@@ -443,3 +443,36 @@ def get_oracles() -> Dict[str, str]:
     from . import queries_pipeline  # noqa: F401
 
     return dict(ORACLES)
+
+
+def q_monotonic_shipdate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-within-chain check (ts non-decreasing per conversation,
+    FIXTURES.md F1) hosted on lineitem: l_shipdate along l_linenumber per
+    order — summary of orders with regressions."""
+    df = _read(spark, sf_dir, "lineitem")
+    viol = uniq_ops.monotonic_violations(df, "l_orderkey", "l_linenumber", "l_shipdate")
+    per_order = viol.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("regressions"))
+    return per_order.agg(
+        F.count(F.lit(1)).alias("orders_with_regressions"),
+        F.coalesce(F.sum("regressions"), F.lit(0)).cast("long").alias("total_regressions"),
+    )
+
+
+_register(
+    "monotonic_shipdate_lineitem",
+    q_monotonic_shipdate_lineitem,
+    """
+    WITH v AS (
+      SELECT l_orderkey,
+             l_shipdate < lag(l_shipdate) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS regress
+      FROM lineitem
+    ),
+    per_order AS (
+      SELECT l_orderkey, SUM(CASE WHEN regress THEN 1 ELSE 0 END) AS regressions
+      FROM v GROUP BY l_orderkey HAVING SUM(CASE WHEN regress THEN 1 ELSE 0 END) > 0
+    )
+    SELECT COUNT(*)::BIGINT AS orders_with_regressions,
+           coalesce(SUM(regressions), 0)::BIGINT AS total_regressions
+    FROM per_order
+    """,
+)
