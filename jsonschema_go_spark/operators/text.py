@@ -93,7 +93,11 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     pr = char_class_ratio(c, PUNCT_RE).alias("punct_ratio")
     ur = char_class_ratio(c, UPPER_RE).alias("upper_ratio")
     dr = char_class_ratio(c, DIGIT_RE).alias("digit_ratio")
-    out = df.select("*", wc, tc, pr, ur, dr)
+    # english-stopword fraction of words — the classic quality signal
+    sr = F.when(word_count(c) == 0, F.lit(0.0)).otherwise(
+        stopword_hits(c, "en") / word_count(c)
+    ).alias("stopword_ratio")
+    out = df.select("*", wc, tc, pr, ur, dr, sr)
     score = (
         F.least(F.col("word_count") / F.lit(20.0), F.lit(1.0)) * 0.5
         + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.25

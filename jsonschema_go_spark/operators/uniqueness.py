@@ -126,10 +126,15 @@ def monotonic_violations(
     column: str = "ts",
 ) -> DataFrame:
     """Rows where ``column`` decreases along the ``order_by`` chain
-    (optional ts-monotonic invariant, FIXTURES.md F1)."""
+    (optional ts-monotonic invariant, FIXTURES.md F1).
+
+    The window order is made TOTAL by tie-breaking on ``column`` itself —
+    duplicate ``order_by`` keys would otherwise make lag() engine-dependent,
+    and an equal-key tie must never count as a regression.
+    """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(partition_by).orderBy(order_by)
+    w = Window.partitionBy(partition_by).orderBy(order_by, column)
     prev = F.lag(column).over(w)
     return (
         df.select(partition_by, order_by, F.col(column), prev.alias("_prev"))

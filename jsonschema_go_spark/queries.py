@@ -464,7 +464,7 @@ _register(
     """
     WITH v AS (
       SELECT l_orderkey,
-             l_shipdate < lag(l_shipdate) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS regress
+             l_shipdate < lag(l_shipdate) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate) AS regress
       FROM lineitem
     ),
     per_order AS (

@@ -37,6 +37,12 @@ _DR = (
     "(CASE WHEN length(text) = 0 THEN 0.0 "
     f"ELSE len(regexp_extract_all(text, '{DIGIT_RE_SQL}')) / length(text) END)"
 )
+_SR = (
+    f"(CASE WHEN {_WC} = 0 THEN 0.0 ELSE "
+    + "len(regexp_extract_all(" + NORM.format(c="text")
+    + r", '\b(the|and|is|of|to|in|that|it)\b'))"
+    + f" / {_WC} END)"
+)
 _SCORE = (
     f"round(least({_WC} / 20.0, 1.0) * 0.5"
     f" + (1.0 - least({_PR} * 4.0, 1.0)) * 0.25"
@@ -65,6 +71,7 @@ def q_text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("word_count").cast("long").alias("total_words"),
         F.sum("token_count").cast("long").alias("total_tokens"),
         F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
         F.sum((F.col("quality_score") < 0.5).cast("long")).alias("low_quality_docs"),
     )
@@ -78,6 +85,7 @@ _register(
            SUM({_WC})::BIGINT AS total_words,
            SUM({_TC})::BIGINT AS total_tokens,
            round(AVG({_PR}), 6) AS avg_punct_ratio,
+           round(AVG({_SR}), 6) AS avg_stopword_ratio,
            round(AVG({_SCORE}), 6) AS avg_quality,
            SUM(CASE WHEN {_SCORE} < 0.5 THEN 1 ELSE 0 END)::BIGINT AS low_quality_docs
     FROM documents WHERE text IS NOT NULL
