@@ -60,6 +60,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     for name, fn in sorted(queries.items()):
+        run_noop(fn(spark, sf_dir))  # warm-up: JIT + codegen + file metadata
         t0 = time.perf_counter()
         run_noop(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -93,6 +94,7 @@ def main() -> None:
                 "turns_per_sec": turns_per_sec,
                 "transcript_turns": n_turns,
                 "cpus": cpus,
+                "timing": "warm (1 warm-up run per query; steady-state)",
             }
         )
     )

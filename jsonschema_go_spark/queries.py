@@ -20,9 +20,14 @@ from pyspark.sql import functions as F
 from .rules import Rule, TableRule
 from .compile import compile_table
 from .oracle import summary_sql
+from .functions.formats import BASE64_RE as _B64_RE_PY, DATETIME_RE as _DT_RE_PY, UUID_RE as _UUID_RE_PY
 from .operators import drift as drift_ops
 from .operators import stats as stats_ops
 from .operators import uniqueness as uniq_ops
+
+_DATETIME_RE_SQL = _DT_RE_PY.replace("'", "''")
+_UUID_RE_SQL = _UUID_RE_PY.replace("'", "''")
+_B64_RE_SQL = _B64_RE_PY.replace("'", "''")
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
@@ -474,5 +479,74 @@ _register(
     SELECT COUNT(*)::BIGINT AS orders_with_regressions,
            coalesce(SUM(regressions), 0)::BIGINT AS total_regressions
     FROM per_order
+    """,
+)
+
+
+def q_kw_format_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`format` keyword over STRING inputs (native timestamp columns elide
+    the check, so this derives string columns deterministically on both
+    engines): date-time on cast(ts), uuid on md5-derived strings (dashed for
+    every 4th row), base64 on event_type (some 4-char alphabet values pass)."""
+    from .compile import compile_pred
+    from .rules import Rule
+
+    df = _read(spark, sf_dir, "events").select(
+        F.col("ts").cast("string").alias("ts_str"),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(4)) == 0,
+            F.concat_ws(
+                "-",
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                F.substring(F.md5(F.col("event_id").cast("string")), 9, 4),
+                F.substring(F.md5(F.col("event_id").cast("string")), 13, 4),
+                F.substring(F.md5(F.col("event_id").cast("string")), 17, 4),
+                F.substring(F.md5(F.col("event_id").cast("string")), 21, 12),
+            ),
+        ).otherwise(F.md5(F.col("event_id").cast("string"))).alias("uid"),
+        F.col("event_type").alias("b64"),
+    )
+    def fail_count(col: str, fmt: str):
+        pred = compile_pred(
+            Rule(type="string", format=fmt), F.col(col), df.schema[col].dataType
+        )
+        return F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(f"{col}_fail")
+
+    return df.agg(
+        fail_count("ts_str", "date-time"),
+        F.count(F.lit(1)).cast("long").alias("row_count"),
+        fail_count("uid", "uuid"),
+        fail_count("b64", "base64"),
+    )
+
+
+_register(
+    "kw_format_events",
+    q_kw_format_events,
+    f"""
+    WITH derived AS (
+      SELECT CAST(ts AS VARCHAR) AS ts_str,
+             CASE WHEN event_id % 4 = 0 THEN
+               substring(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+               substring(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+               substring(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+               substring(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+               substring(md5(CAST(event_id AS VARCHAR)), 21, 12)
+             ELSE md5(CAST(event_id AS VARCHAR)) END AS uid,
+             event_type AS b64
+      FROM events
+    )
+    SELECT
+      SUM(CASE WHEN NOT coalesce(
+        (ts_str IS NULL OR (coalesce((regexp_matches(ts_str, '{_DATETIME_RE_SQL}') AND try_cast(regexp_replace(ts_str, '[Tt]', ' ') AS TIMESTAMP) IS NOT NULL), TRUE)))
+        , TRUE) THEN 1 ELSE 0 END)::BIGINT AS ts_str_fail,
+      COUNT(*)::BIGINT AS row_count,
+      SUM(CASE WHEN NOT coalesce(
+        (uid IS NULL OR (coalesce(regexp_matches(uid, '{_UUID_RE_SQL}'), TRUE)))
+        , TRUE) THEN 1 ELSE 0 END)::BIGINT AS uid_fail,
+      SUM(CASE WHEN NOT coalesce(
+        (b64 IS NULL OR (coalesce((regexp_matches(b64, '{_B64_RE_SQL}') AND length(b64) % 4 = 0), TRUE)))
+        , TRUE) THEN 1 ELSE 0 END)::BIGINT AS b64_fail
+    FROM derived
     """,
 )
