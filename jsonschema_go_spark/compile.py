@@ -101,7 +101,8 @@ class CompileOptions:
     #: hook: (CompiledCheck) -> CompiledCheck|None (drop) — InterceptSchema
     #: analog (context.go:124-140)
     intercept_check: Optional[Callable[[CompiledCheck], Optional[CompiledCheck]]] = None
-    #: treat unknown `format` names as always-pass annotations
+    #: False (default): unknown `format` names are annotations (always-pass);
+    #: True: unknown formats raise CompileError at compile time
     strict_formats: bool = False
     multiple_of_eps: float = MULTIPLE_OF_EPS
     #: post-compile plan-rewrite hook — Preparer analog
@@ -269,9 +270,18 @@ def _keyword_preds(
         v = rule.const
         yield "const", (c.isNull() if v is None else (c == _lit(v)))
     if rule.enum:
-        scalars = [v for v in rule.enum if not isinstance(v, (list, dict))]
+        complex_members = [v for v in rule.enum if isinstance(v, (list, dict))]
+        if complex_members:
+            # silently dropping them would wrongly FAIL cells equal to a
+            # complex member — refuse instead (rule docs are user data)
+            raise CompileError(
+                f"unsupported complex enum members: {complex_members!r}"
+            )
+        non_null = [v for v in rule.enum if v is not None]
         has_null = any(v is None for v in rule.enum)
-        p = c.isin(*[v for v in scalars if v is not None])
+        # empty scalar set (e.g. enum=[null]): isin(*[]) would throw — only
+        # the null alternative (if any) can pass
+        p = c.isin(*non_null) if non_null else F.lit(False)
         if has_null:
             p = p | c.isNull()
         yield "enum", p
@@ -311,7 +321,16 @@ def _keyword_preds(
         if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             pass  # natively typed: statically valid
         else:
-            yield "format", format_predicate(rule.format, str_c)
+            from .functions.formats import FORMAT_PREDICATES
+
+            if rule.format not in FORMAT_PREDICATES:
+                if opts.strict_formats:
+                    raise CompileError(
+                        f"unknown format {rule.format!r} (strict_formats)"
+                    )
+                # annotation-only: no check row (oracle.summary_sql parity)
+            else:
+                yield "format", format_predicate(rule.format, str_c)
 
     # ---- array (entities.go:36-41)
     if isinstance(dtype, T.ArrayType):

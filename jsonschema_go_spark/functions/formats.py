@@ -73,10 +73,16 @@ def register_format(name: str, pred: Callable[[Column], Column]) -> None:
     FORMAT_PREDICATES[name] = pred
 
 
-def format_predicate(name: str, c: Column) -> Column:
+def format_predicate(name: str, c: Column, strict: bool = False) -> Column:
     """Predicate for a named format; unknown formats are annotations only
-    (draft-07: format is not an assertion unless opted in) → always-pass."""
+    (draft-07: format is not an assertion unless opted in) → always-pass.
+
+    ``strict=True`` (``CompileOptions.strict_formats``) turns an unknown
+    format into a compile-time error instead of a silent pass — mirrors the
+    opt-in strictness of format assertion vocabularies."""
     fn = FORMAT_PREDICATES.get(name)
     if fn is None:
+        if strict:
+            raise KeyError(f"unknown format {name!r} (strict_formats)")
         return F.lit(True)
     return fn(c)

@@ -15,7 +15,7 @@ tiny DataFrame (≤ distinct values / buckets) with broadcast joins.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

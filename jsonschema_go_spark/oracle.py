@@ -30,10 +30,15 @@ from .functions.formats import (
     DATETIME_RE,
     DATE_RE,
     EMAIL_RE,
+    HOSTNAME_RE,
     IPV4_RE,
+    IPV6_RE,
+    JSON_POINTER_RE,
     TIME_RE,
     URI_RE,
+    URI_REFERENCE_RE,
     UUID_RE,
+    FORMAT_PREDICATES,
 )
 
 
@@ -65,8 +70,14 @@ _FORMAT_SQL = {
         f"(regexp_matches({c}, {_q(BASE64_RE)}) AND length({c}) % 4 = 0)"
     ),
     "email": lambda c: f"regexp_matches({c}, {_q(EMAIL_RE)})",
+    "hostname": lambda c: f"regexp_matches({c}, {_q(HOSTNAME_RE)})",
     "ipv4": lambda c: f"regexp_matches({c}, {_q(IPV4_RE)})",
+    "ipv6": lambda c: (
+        f"(regexp_matches({c}, {_q(IPV6_RE)}) AND contains({c}, ':'))"
+    ),
     "uri": lambda c: f"regexp_matches({c}, {_q(URI_RE)})",
+    "uri-reference": lambda c: f"regexp_matches({c}, {_q(URI_REFERENCE_RE)})",
+    "json-pointer": lambda c: f"regexp_matches({c}, {_q(JSON_POINTER_RE)})",
 }
 
 
@@ -116,8 +127,17 @@ def sql_pred(
         v = rule.const
         add(f"({c} IS NULL)" if v is None else f"({c} = {_lit(v)})")
     if rule.enum:
+        complex_members = [v for v in rule.enum if isinstance(v, (list, dict))]
+        if complex_members:
+            # parity with compile.py: refuse rather than mis-evaluate
+            raise ValueError(f"unsupported complex enum members: {complex_members!r}")
         non_null = [v for v in rule.enum if v is not None]
-        p = f"({c} IN (" + ", ".join(_lit(v) for v in non_null) + "))"
+        # empty scalar set: `IN ()` is a syntax error — emit FALSE instead
+        p = (
+            f"({c} IN (" + ", ".join(_lit(v) for v in non_null) + "))"
+            if non_null
+            else "FALSE"
+        )
         if any(v is None for v in rule.enum):
             p = f"({p} OR {c} IS NULL)"
         add(p)
@@ -152,6 +172,12 @@ def sql_pred(
         fmt = _FORMAT_SQL.get(rule.format)
         if fmt is not None:
             add(fmt(sc))
+        elif rule.format in FORMAT_PREDICATES:
+            # compile.py would emit a real check here; a silent no-op would
+            # break the identical-semantics oracle parity contract
+            raise ValueError(
+                f"format {rule.format!r} enforced by compile.py has no SQL mirror"
+            )
 
     # ---- array (DuckDB list functions)
     if elem_type == "array":
