@@ -208,6 +208,12 @@ def sql_pred(
                 sub = sql_pred(rule.items, "x")
                 add(f"(len(list_filter({c}, x -> NOT coalesce({sub}, TRUE))) = 0)")
 
+    # ---- object over MAP (DuckDB map functions; mirrors compile.py's
+    # MapType branch incl. per-keyword null-pass placement)
+    if elem_type == "map":
+        for _, p in _map_keyword_preds(rule, c):
+            add(p)
+
     # ---- composition
     if rule.all_of:
         add("(" + " AND ".join(f"coalesce({sql_pred(s, c, elem_type)}, TRUE)" for s in rule.all_of) + ")")
@@ -233,6 +239,69 @@ def sql_pred(
     return f"({c} IS NULL OR ({body}))"
 
 
+def _map_keyword_preds(rule: Rule, c: str) -> List[tuple]:
+    """(keyword, sql) pairs for object-over-map keywords, in the same yield
+    order and granularity as ``compile._keyword_preds`` (one entry per
+    patternProperties pattern / dependencies key). ``element_at(map, k)`` in
+    DuckDB returns a LIST — ``[1]`` extracts the value (NULL when absent),
+    matching Spark's NULL-for-missing-key ``element_at``."""
+    keys = f"map_keys({c})"
+    out: List[tuple] = []
+    if rule.min_properties:
+        out.append(("minProperties", f"(len({keys}) >= {int(rule.min_properties)})"))
+    if rule.max_properties is not None:
+        out.append(("maxProperties", f"(len({keys}) <= {int(rule.max_properties)})"))
+    if rule.required:
+        lst = ", ".join(_q(k) for k in rule.required)
+        out.append(("required", f"list_has_all({keys}, [{lst}])"))
+    known = sorted((rule.properties or {}).keys())
+    if rule.properties:
+        parts = [
+            f"coalesce({sql_pred(s, f'element_at({c}, {_q(k)})[1]')}, TRUE)"
+            for k, s in sorted(rule.properties.items())
+        ]
+        out.append(("properties", "(" + " AND ".join(parts) + ")"))
+    if rule.additional_properties is not None:
+        if known:
+            known_lst = ", ".join(_q(k) for k in known)
+            extra = f"list_filter({keys}, k -> k NOT IN ({known_lst}))"
+        else:
+            extra = keys
+        if rule.additional_properties is False:
+            out.append(("additionalProperties", f"(len({extra}) = 0)"))
+        elif rule.additional_properties is not True:
+            sub = sql_pred(rule.additional_properties, f"element_at({c}, k)[1]")
+            out.append((
+                "additionalProperties",
+                f"(len(list_filter({extra}, k -> NOT coalesce({sub}, TRUE))) = 0)",
+            ))
+    for pat, s in sorted((rule.pattern_properties or {}).items()):
+        sub = sql_pred(s, "e.value")
+        inner = f"((NOT regexp_matches(e.key, {_q(pat)})) OR coalesce({sub}, TRUE))"
+        out.append((
+            "patternProperties",
+            f"(len(list_filter(map_entries({c}), e -> NOT coalesce({inner}, TRUE))) = 0)",
+        ))
+    if rule.property_names is not None:
+        sub = sql_pred(rule.property_names, "k")
+        out.append((
+            "propertyNames",
+            f"(len(list_filter({keys}, k -> NOT coalesce({sub}, TRUE))) = 0)",
+        ))
+    for k, dep in sorted((rule.dependencies or {}).items()):
+        present = f"list_contains({keys}, {_q(k)})"
+        if isinstance(dep, list):
+            dep_ok = (
+                f"list_has_all({keys}, [{', '.join(_q(d) for d in dep)}])"
+                if dep
+                else "TRUE"
+            )
+        else:
+            dep_ok = f"coalesce({sql_pred(dep, c, 'map')}, TRUE)"
+        out.append(("dependencies", f"((NOT {present}) OR {dep_ok})"))
+    return out
+
+
 _KEYWORD_ORDER = [
     "type", "const", "enum", "minimum", "maximum", "exclusiveMinimum",
     "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
@@ -246,6 +315,10 @@ def keyword_preds_sql(rule: Rule, c: str, elem_type: str = "scalar") -> List[tup
     granularity for summary parity. Each predicate NULL-guards on its own."""
     out = []
     for kw in _KEYWORD_ORDER:
+        if kw == "allOf" and elem_type == "map":
+            # object-over-map keywords sit between array and composition in
+            # compile._keyword_preds yield order
+            out.extend(_map_keyword_preds(rule, c))
         single = Rule()
         present = False
         if kw == "type" and rule.type is not None:

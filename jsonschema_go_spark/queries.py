@@ -483,6 +483,95 @@ _register(
 )
 
 
+# --- object keyword family over a derived map column ------------------------
+#
+# The driver tables have no map columns, so this derives one deterministically
+# on BOTH engines (same trick as kw_format_events) and exercises the full
+# map-object keyword family (``/root/reference/entities.go:42-50,751-810``)
+# from ONE rule document compiled via compile.py's MapType branch and
+# oracle._map_keyword_preds.
+ATTRS_RULE = Rule(
+    type="object",
+    min_properties=2,
+    max_properties=3,
+    required=["a"],
+    properties={"a": Rule(pattern=r"^v[0-9]$")},
+    additional_properties=Rule(max_length=2),
+    pattern_properties={"^x": Rule(max_length=1)},
+    property_names=Rule(pattern=r"^[a-z0-9]+$", max_length=3),
+    dependencies={"b": ["num"], "x9": Rule(min_properties=3)},
+)
+#: bool form of additionalProperties (reflect.go:1106-1113) on the same map —
+#: fails whenever a key outside the declared set (x9/toolong) is present
+ATTRS2_RULE = Rule(
+    type="object",
+    properties={"a": True, "b": True, "num": True},
+    additional_properties=False,
+)
+
+
+def q_kw_object_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eid = F.col("event_id")
+    entries = F.array(
+        F.when(
+            eid % 13 != 0,
+            F.struct(
+                F.lit("a").alias("key"),
+                F.concat(F.lit("v"), (eid % 12).cast("string")).alias("value"),
+            ),
+        ),
+        F.when(
+            eid % 3 == 0,
+            F.struct(F.lit("b").alias("key"), F.col("event_type").alias("value")),
+        ),
+        F.when(
+            eid % 7 == 0,
+            F.struct(
+                F.lit("x9").alias("key"),
+                F.when(eid % 14 == 0, F.lit("z")).otherwise(F.lit("zz")).alias("value"),
+            ),
+        ),
+        F.when(
+            eid % 4 == 0,
+            F.struct(F.lit("num").alias("key"), (eid % 250).cast("string").alias("value")),
+        ),
+        F.when(
+            eid % 11 == 0,
+            F.struct(F.lit("toolong").alias("key"), F.lit("t").alias("value")),
+        ),
+    )
+    m = F.map_from_entries(F.filter(entries, lambda x: x.isNotNull()))
+    df = _read(spark, sf_dir, "events").select(m.alias("attrs"), m.alias("attrs2"))
+    tr = TableRule(
+        name="derived", columns={"attrs": ATTRS_RULE, "attrs2": ATTRS2_RULE}
+    )
+    return compile_table(tr, df.schema).summary(df)
+
+
+_ATTRS_SQL = """
+    SELECT map_from_entries(list_filter([
+      CASE WHEN event_id % 13 != 0 THEN {'key': 'a', 'value': 'v' || CAST(event_id % 12 AS VARCHAR)} ELSE NULL END,
+      CASE WHEN event_id % 3 = 0 THEN {'key': 'b', 'value': event_type} ELSE NULL END,
+      CASE WHEN event_id % 7 = 0 THEN {'key': 'x9', 'value': CASE WHEN event_id % 14 = 0 THEN 'z' ELSE 'zz' END} ELSE NULL END,
+      CASE WHEN event_id % 4 = 0 THEN {'key': 'num', 'value': CAST(event_id % 250 AS VARCHAR)} ELSE NULL END,
+      CASE WHEN event_id % 11 = 0 THEN {'key': 'toolong', 'value': 't'} ELSE NULL END
+    ], x -> x IS NOT NULL)) AS attrs
+    FROM events
+"""
+_register(
+    "kw_object_events",
+    q_kw_object_events,
+    f"WITH d0 AS ({_ATTRS_SQL}), derived AS (SELECT attrs, attrs AS attrs2 FROM d0)\n"
+    + summary_sql(
+        TableRule(
+            name="derived", columns={"attrs": ATTRS_RULE, "attrs2": ATTRS2_RULE}
+        ),
+        "derived",
+        {"attrs": "map", "attrs2": "map"},
+    ),
+)
+
+
 def q_kw_format_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`format` keyword over STRING inputs (native timestamp columns elide
     the check, so this derives string columns deterministically on both

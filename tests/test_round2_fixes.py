@@ -118,3 +118,59 @@ def test_drift_report_type_hints_resolve():
 
     hints = typing.get_type_hints(d.drift_report)
     assert hints  # NameError before the Sequence import fix
+
+
+# ------------------------------------------- map-keyword oracle parity (unit)
+
+def test_map_sql_pred_mirrors_compile(spark, duck):
+    """compile_pred and sql_pred(elem_type='map') must agree cell-for-cell on
+    crafted maps incl. NULL map, empty map, and missing/extra keys."""
+    rule = Rule(
+        min_properties=1,
+        max_properties=2,
+        required=["a"],
+        properties={"a": Rule(pattern="^v$")},
+        additional_properties=Rule(max_length=1),
+        pattern_properties={"^x": Rule(max_length=1)},
+        property_names=Rule(max_length=2),
+        dependencies={"b": ["a"], "x9": Rule(min_properties=2)},
+    )
+    data = [
+        (0, {"a": "v"}),
+        (1, {"a": "v", "b": "z"}),
+        (2, {"a": "bad", "xx": "toolong"}),
+        (3, {}),
+        (4, None),
+        (5, {"x9": "q"}),
+        (6, {"a": "v", "b": "z", "c": "w"}),
+    ]
+    df = spark.createDataFrame(data, "tag int, v map<string,string>")
+    pred = compile_pred(rule, F.col("v"), df.schema["v"].dataType)
+    spark_res = [
+        (r["tag"], r["p"])
+        for r in df.select("tag", pred.alias("p")).orderBy("tag").collect()
+    ]
+
+    from jsonschema_go_spark.oracle import sql_pred as _sql_pred
+
+    def duck_map(d):
+        if d is None:
+            return "NULL::MAP(VARCHAR,VARCHAR)"
+        entries = ", ".join(
+            "{'key': %s, 'value': %s}" % (_sq(k), _sq(val)) for k, val in d.items()
+        )
+        return f"map_from_entries([{entries}]::STRUCT(\"key\" VARCHAR, \"value\" VARCHAR)[])"
+
+    rows_sql = " UNION ALL ".join(
+        f"SELECT {tag} AS tag, {duck_map(d)} AS v" for tag, d in data
+    )
+    p = _sql_pred(rule, "v", "map")
+    duck_res = [
+        (r[0], r[1])
+        for r in duck.execute(
+            f"SELECT tag, coalesce({p}, TRUE) FROM ({rows_sql}) ORDER BY tag"
+        ).fetchall()
+    ]
+    assert spark_res == duck_res
+    # the fixture must exercise both verdicts
+    assert {v for _, v in spark_res} == {True, False}
