@@ -86,18 +86,95 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     sample_mod: Optional[int] = None,
 ) -> DataFrame:
-    """Embedding near-duplicates: pairs with cosine ≥ threshold →
+    """EXACT embedding near-duplicates: pairs with cosine ≥ threshold →
     ``(id_a, id_b, cos)``. ``sample_mod`` restricts the left side to
-    ``id % sample_mod == 0`` (audit-sampling pattern for bounded cost)."""
+    ``id % sample_mod == 0`` (audit-sampling pattern for bounded cost).
+
+    This is the oracle/audit path: cost is inherently O(|a| × N) compares.
+    No broadcast hint — Catalyst plans a partitioned cartesian product, so
+    neither side must fit in executor memory (the former ``F.broadcast(a)``
+    shipped an O(N) slice to every executor — OOM at 100 TB). For the scale
+    path use :func:`lsh_near_dup_pairs` (banded candidates, exact verify).
+    """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     if sample_mod:
         a = a.where(F.col("id_a") % sample_mod == 0)
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        F.broadcast(a)
-        .crossJoin(b)
+        a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    max_bucket_freq: Optional[int] = None,
+) -> DataFrame:
+    """SCALE-PATH embedding near-duplicates: banded sign-LSH candidate
+    generation + exact-cosine verification → ``(id_a, id_b, cos ≥ threshold)``.
+
+    Candidates are pairs agreeing on ≥1 of ``bands`` band keys (each key =
+    ``rows_per_band`` hyperplane sign bits) — an equi-join on (band, key),
+    never an all-pairs compare; every candidate is then verified with the
+    exact cosine, so precision is 1.0 and only recall is probabilistic:
+    P(miss) = (1 − p^r)^b with p = 1 − θ/π. At near-dup thresholds (≥0.9,
+    θ ≤ 26°) the defaults give P(miss) < 1e-2 per pair; raise ``bands`` for
+    tighter guarantees. Low thresholds (< ~0.7) are NOT a near-dup workload —
+    p per plane decays and banding degenerates; use the exact path there.
+
+    ``max_bucket_freq`` drops band-buckets with more members than the cap —
+    the stop-shingle guard of the Jaccard path applied to LSH (hot buckets =
+    degenerate planes or clustered data; at 100 TB a single hot bucket would
+    otherwise quadratically dominate the join).
+    """
+    sig = sign_lsh_bucket(F.col(vec_col), dim, planes=bands * rows_per_band, seed=seed)
+    banded = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
+        .select(
+            "_id",
+            "_v",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("_sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("_bk"),
+        )
+        .select("_id", "_v", F.col("_bk.band").alias("_band"), F.col("_bk.key").alias("_key"))
+    )
+    if max_bucket_freq is not None:
+        hot = (
+            banded.groupBy("_band", "_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_freq)
+            .select("_band", "_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["_band", "_key"], "left_anti")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_key")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band", "_key")
+    cand = (
+        a.join(b, ["_band", "_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many bands
+    )
+    return (
+        cand.select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
@@ -202,24 +279,32 @@ def ivf_topk(
     )
 
 
+def _plane_sign(p: int, j: int, seed: int) -> float:
+    """±1 for plane p, component j — md5-derived: deterministic across runs,
+    processes, and engines; no RNG state."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}:{j}:{seed}".encode()).hexdigest()
+    return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+
 def sign_lsh_bucket(vec: Column, dim: int, planes: int = 16, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id (string of sign bits).
 
-    Plane p's component j is ±1 derived from xxhash64(p, j, seed) — fully
-    deterministic, no RNG state, no driver-side plane matrix to ship.
+    The ±1 plane matrix is a single ``array<array<double>>`` literal
+    (planes × dim doubles — 64 KiB at 128×64, shipped once inside the plan)
+    and the signature is one higher-order ``transform`` over it. The earlier
+    per-plane expression-tree construction (planes × dim ``when`` nodes) made
+    Catalyst optimization time explode: ~90 s of planning at 128 planes
+    regardless of data size; this form plans in milliseconds and evaluates
+    the same planes × dim FLOPs per row inside codegen.
     """
-    bits = []
-    for p in range(planes):
-        signs = F.array(*[
-            F.when(
-                F.pmod(F.xxhash64(F.lit(p), F.lit(j), F.lit(seed)), F.lit(2)) == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            for j in range(dim)
-        ])
-        d = dot(vec, signs)
-        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    mat = [[_plane_sign(p, j, seed) for j in range(dim)] for p in range(planes)]
+    bits = F.transform(
+        F.lit(mat),
+        lambda pl: F.when(dot(vec, pl) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def lsh_topk(

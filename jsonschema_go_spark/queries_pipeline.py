@@ -364,6 +364,61 @@ _register(
 )
 
 
+def _neardup_corpus(df: DataFrame) -> DataFrame:
+    """Deterministic near-dup injection: every 10th vector re-inserted with a
+    +0.1 bump on every 7th dimension (cos ≈ 0.998 to its source) — same
+    construction in the oracle SQL."""
+    pert = df.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.when(i % 7 == 0, F.lit(0.1)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    base = df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return base.unionByName(pert)
+
+
+_NEARDUP_CORPUS_SQL = """
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> embedding[i]::DOUBLE + CASE WHEN (i - 1) % 7 = 0 THEN 0.1 ELSE 0.0 END) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: banded sign-LSH candidates + exact verify. The
+    oracle is the brute-force all-pairs SQL — at threshold 0.9 with 16 bands
+    of 8 planes the LSH recall on the injected pairs is 1.0 (P(miss) ~ 1e-13
+    at cos ≈ 0.998), so both sides produce identical pairs."""
+    corpus = _neardup_corpus(_read(spark, sf_dir, "embeddings"))
+    return sim.lsh_near_dup_pairs(
+        corpus, "vec_id", "embedding", dim=64, threshold=0.9,
+        bands=16, rows_per_band=8,
+    )
+
+
+_register(
+    "embedding_neardup_lsh",
+    q_embedding_neardup_lsh,
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    a AS (SELECT vec_id AS id_a, embedding AS qv FROM corpus),
+    scored AS (
+      SELECT a.id_a, c.vec_id AS id_b, {_COS.replace("q.qv", "a.qv").replace("c.embedding", "c.embedding")} AS cos
+      FROM a JOIN corpus c ON a.id_a < c.vec_id
+    )
+    SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.9
+    """,
+)
+
+
 # ------------------------------------------------- multimodal + transcripts
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
