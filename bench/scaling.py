@@ -99,6 +99,87 @@ def cmd_run(args) -> None:
     spark.stop()
 
 
+def cmd_perconv(args) -> None:
+    """Per-CONVERSATION verdicts: full-data shuffle (raw parquet) vs
+    exchange-free aggregate over the staged bucketed+sorted table
+    (CheckpointedRun storage layout). Evidence for the BENCH.md claim that
+    bucketing the table on conv_id at write time removes the 16M-group
+    shuffle entirely."""
+    spark = _session(args.cpus, args.cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    from jsonschema_go_spark.compile import compile_table
+    from jsonschema_go_spark.lineage import CheckpointedRun
+    from jsonschema_go_spark.sources.io import TableIO
+    from jsonschema_go_spark.sources.transcripts import transcript_table_rule
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(args.input)
+    n = df.count()
+    plan = compile_table(transcript_table_rule(), df.schema)
+
+    def timed(fn):
+        fn()  # warm-up
+        best = None
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0) if best else time.perf_counter() - t0
+        return best
+
+    def raw_job():
+        plan.verdicts(df, "conv_id").write.format("noop").mode("overwrite").save()
+
+    t_raw = timed(raw_job)
+
+    io = TableIO(spark, base_path=args.staging)
+    run = CheckpointedRun(io, "perconv", num_buckets=args.buckets,
+                          sub_buckets=args.sub_buckets)
+    t0 = time.perf_counter()
+    staged = run._stage_input(df, resume=False)
+    t_stage = time.perf_counter() - t0
+
+    def staged_single_job():
+        # ONE exchange-free aggregate over the whole bucketed table: the scan
+        # reports HashPartitioning(conv_id, sub_buckets), so the 2M-group agg
+        # shuffles nothing — this is the 100 TB shape (the source table is
+        # stored bucketed; verdicts are a map-only pass)
+        plan.verdicts(staged.drop("_bucket"), "conv_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    t_single = timed(staged_single_job)
+
+    def staged_loop_job():
+        # the CheckpointedRun inner loop: per-bucket pruned read; pays
+        # num_buckets × job-launch overhead for bucket-grained resumability
+        for b in range(args.buckets):
+            part = staged.where(F.col("_bucket") == b).drop("_bucket")
+            plan.verdicts(part, "conv_id").write.format("noop").mode("overwrite").save()
+
+    t_loop = timed(staged_loop_job)
+    plan_str = (
+        plan.verdicts(staged.drop("_bucket"), "conv_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "rows": n,
+                "perconv_shuffled_sec": round(t_raw, 3),
+                "perconv_bucketed_sec": round(t_single, 3),
+                "perconv_bucketed_loop_sec": round(t_loop, 3),
+                "speedup_single_job": round(t_raw / t_single, 2),
+                "staging_write_sec": round(t_stage, 3),
+                "buckets": args.buckets,
+                "sub_buckets": args.sub_buckets,
+                "bucketed_plan_has_exchange": "Exchange" in plan_str,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -109,9 +190,18 @@ def main() -> int:
     r.add_argument("--cpus", type=int, required=True)
     r.add_argument("--input", default="/tmp/scale_input")
     r.add_argument("--repeats", type=int, default=2)
+    c = sub.add_parser("perconv")
+    c.add_argument("--cpus", type=int, default=32)
+    c.add_argument("--input", default="/tmp/scale_input")
+    c.add_argument("--staging", default="/tmp/perconv_staging")
+    c.add_argument("--buckets", type=int, default=16)
+    c.add_argument("--sub-buckets", dest="sub_buckets", type=int, default=8)
+    c.add_argument("--repeats", type=int, default=2)
     args = p.parse_args()
     if args.cmd == "generate":
         cmd_generate(args)
+    elif args.cmd == "perconv":
+        cmd_perconv(args)
     else:
         cmd_run(args)
     return 0

@@ -105,6 +105,15 @@ class CheckpointedRun:
     run_id: str
     key_col: str = "conv_id"
     num_buckets: int = 16
+    #: Spark storage buckets on key_col WITHIN each _bucket partition —
+    #: makes every per-key aggregate over the staged data exchange-free
+    sub_buckets: int = 8
+
+    @property
+    def _staged_table(self) -> str:
+        import re
+
+        return "staged_" + re.sub(r"[^A-Za-z0-9_]", "_", self.run_id)
 
     def _stage_input(self, df: DataFrame, resume: bool) -> DataFrame:
         """Stage the input hash-partitioned by bucket — ONE full pass.
@@ -113,20 +122,61 @@ class CheckpointedRun:
         bucket (num_buckets × full-scan — measured 5× slower even at 600k
         rows; fatal at 100 TB). Staged layout gives each bucket a
         partition-pruned read: total I/O = 1 write + num_buckets pruned
-        reads. On a real lake the source table is already bucketed/
-        partitioned by the conv_id hash and this step is a no-op.
+        reads.
+
+        The staged data is ALSO a Spark bucketed table: ``bucketBy(sub_buckets,
+        key_col) + sortBy(key_col)`` within each ``_bucket`` partition. The
+        bucketed scan reports ``HashPartitioning(key_col)``, so the
+        per-conversation verdict aggregate needs NO Exchange — this was the
+        16M-group full-data shuffle flagged at 97M turns (BENCH.md per-stage
+        table). On a real lake the source table is already stored
+        bucketed/partitioned this way and staging is a no-op.
         """
-        staged_name = f"staged_{self.run_id}"
-        if not (resume and self.io.exists(staged_name)):
-            bucketed = df.withColumn(
-                "_bucket", bucket_expr(self.key_col, self.num_buckets)
-            )
-            # repartition on the partition column so each output dir is
-            # written by few tasks (avoids num_tasks × num_buckets files)
-            bucketed.repartition("_bucket").write.mode("overwrite").partitionBy(
-                "_bucket"
-            ).parquet(self.io._path(staged_name))
-        return self.io.read(staged_name)
+        spark = self.io.spark
+        table = self._staged_table
+        path = self.io._path(f"staged_{self.run_id}")
+        if resume and spark.catalog.tableExists(table):
+            return spark.table(table)
+        if resume and self.io.exists(f"staged_{self.run_id}"):
+            # files survive a crash but the session catalog does not (fresh
+            # driver) — re-register the external bucketed table over them
+            self._register_staged(table, path)
+            return spark.table(table)
+        bucketed = df.withColumn(
+            "_bucket", bucket_expr(self.key_col, self.num_buckets)
+        )
+        # repartition on the partition column so each output dir is written
+        # by few tasks: files = num_buckets dirs × sub_buckets bucket files
+        (
+            bucketed.repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .bucketBy(self.sub_buckets, self.key_col)
+            .sortBy(self.key_col)
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        return spark.table(table)
+
+    def _register_staged(self, table: str, path: str) -> None:
+        """CREATE TABLE over existing staged files (crash-resume in a new
+        session) — schema from the files, bucket spec from self."""
+        spark = self.io.spark
+        df = spark.read.parquet(path)
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != "_bucket"
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}, _bucket INT) USING parquet "
+            f"PARTITIONED BY (_bucket) "
+            f"CLUSTERED BY ({self.key_col}) SORTED BY ({self.key_col}) "
+            f"INTO {self.sub_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {table}")
 
     def run(
         self,
@@ -136,6 +186,7 @@ class CheckpointedRun:
         resume: bool = True,
         stage: str = "validate",
         fail_on_bucket: Optional[int] = None,  # test hook: simulate a crash
+        fail_before_record: Optional[int] = None,  # test hook: crash AFTER appends
     ) -> dict:
         log = LineageLog(self.io)
         done = set(log.completed_buckets(self.run_id, stage)) if resume else set()
@@ -148,15 +199,25 @@ class CheckpointedRun:
             if fail_on_bucket is not None and b == fail_on_bucket:
                 raise RuntimeError(f"simulated crash at bucket {b}")
             t0 = time.perf_counter()
+            # idempotence: a crash between append and lineage-record leaves
+            # the bucket unmarked; dropping its partition before (re)writing
+            # makes the at-least-once loop exactly-once per bucket
+            self.io.delete_partition(f"violations_{self.run_id}", "bucket", b)
+            self.io.delete_partition(f"verdicts_{self.run_id}", "bucket", b)
             # partition pruning: reads only the _bucket=b directory
             part = staged.where(F.col("_bucket") == b).drop("_bucket")
             viol = plan.violations(part, list(keys), ordered=False).withColumn(
                 "bucket", F.lit(b)
             )
             self.io.append(viol, f"violations_{self.run_id}", partition_by=["bucket"])
+            # exchange-free: the staged table is bucketed+sorted on key_col,
+            # so this per-conversation aggregate shuffles nothing
             verd = plan.verdicts(part, self.key_col).withColumn("bucket", F.lit(b))
             verd.cache()
             self.io.append(verd, f"verdicts_{self.run_id}", partition_by=["bucket"])
+            if fail_before_record is not None and b == fail_before_record:
+                verd.unpersist()
+                raise RuntimeError(f"simulated crash before record at bucket {b}")
             # rows + violation counts come free from the verdict aggregate —
             # no extra count job over the data
             tot = verd.agg(

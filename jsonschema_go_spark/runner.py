@@ -26,6 +26,21 @@ import sys
 import time
 
 
+def _auto_buckets(spark, input_path) -> int:
+    """Bucket count from input bytes (no data scan): ~1 bucket per 512 MiB of
+    parquet, clamped to [4, 4096]."""
+    if not input_path:
+        return 16
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(input_path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        n_bytes = fs.getContentSummary(p).getLength()
+        return max(4, min(4096, int(n_bytes // (512 << 20)) + 1))
+    except Exception:
+        return 16
+
+
 def build_session(app: str = "jsonschema-go-spark"):
     from pyspark.sql import SparkSession
 
@@ -82,12 +97,28 @@ def main(argv=None) -> int:
 
     plan = compile_table(tr, df.schema)
     io_out = TableIO(spark, format=args.format, base_path=args.output)
-    n_rows = df.count()
-    buckets = args.buckets or max(4, min(4096, n_rows // 2_000_000 + 1))
+    # auto-size buckets WITHOUT a count() pre-pass (a full extra scan at
+    # 100 TB): use input file bytes (~500 MiB of parquet per bucket) when the
+    # input is path-backed, else a fixed floor for generated inputs
+    buckets = args.buckets or _auto_buckets(spark, args.input)
     run = CheckpointedRun(io_out, args.run_id, num_buckets=buckets)
     t0 = time.perf_counter()
     result = run.run(df, plan, resume=args.resume)
     wall = time.perf_counter() - t0
+    # row total comes free from the per-bucket lineage metrics — no data scan
+    from pyspark.sql import functions as F
+
+    n_rows = (
+        io_out.read("lineage")
+        .where(
+            (F.col("run_id") == args.run_id) & (F.col("status") == "done")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rows").alias("rows"))
+        .agg(F.sum("rows"))
+        .first()[0]
+        or 0
+    )
     print(
         json.dumps(
             {

@@ -52,6 +52,20 @@ class TableIO:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(name))
 
+    def delete_partition(self, name: str, col: str, value) -> None:
+        """Idempotent-resume primitive: drop one partition's output so a
+        re-processed bucket never appends duplicates (at-least-once → exactly-
+        once per bucket). No-op when the table/partition doesn't exist."""
+        if self.format == "iceberg":
+            self.spark.sql(f"DELETE FROM {name} WHERE {col} = {value}")
+            return
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{self._path(name)}/{col}={value}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
     def overwrite(self, df: DataFrame, name: str, partition_by: Optional[list] = None) -> None:
         if self.format == "iceberg":
             df.writeTo(name).createOrReplace()
