@@ -99,8 +99,13 @@ class CompileOptions:
     #: skip checks that IsTrivial proves cannot fail (helper.go:194)
     elide_trivial: bool = True
     #: hook: (CompiledCheck) -> CompiledCheck|None (drop) — InterceptSchema
-    #: analog (context.go:124-140)
+    #: analog (context.go:124-140); compose several with
+    #: :func:`compose_intercept_checks`
     intercept_check: Optional[Callable[[CompiledCheck], Optional[CompiledCheck]]] = None
+    #: hook: (column, keyword, default_id) -> rule_id — InterceptDefName
+    #: analog (``/root/reference/context.go:174-188``); compose several with
+    #: :func:`compose_def_names`
+    intercept_def_name: Optional[Callable[[str, str, str], str]] = None
     #: False (default): unknown `format` names are annotations (always-pass);
     #: True: unknown formats raise CompileError at compile time
     strict_formats: bool = False
@@ -113,6 +118,37 @@ class CompileOptions:
 
 class CompileError(ValueError):
     pass
+
+
+def compose_intercept_checks(*hooks: Callable) -> Callable:
+    """Compose check interceptors the way the reference stacks
+    ``InterceptSchema`` hooks (``/root/reference/context.go:124-140``):
+    earlier-registered hooks run first, and a hook dropping the check
+    (returning None — the reference's ``stop``) short-circuits the rest."""
+
+    def composed(check: CompiledCheck) -> Optional[CompiledCheck]:
+        out = check
+        for h in hooks:
+            out = h(out)
+            if out is None:
+                return None
+        return out
+
+    return composed
+
+
+def compose_def_names(*hooks: Callable) -> Callable:
+    """Compose rule-id interceptors the way ``InterceptDefName`` stacks
+    (``/root/reference/context.go:174-188``): each hook receives the previous
+    hook's output as the default name."""
+
+    def composed(column: str, keyword: str, default_id: str) -> str:
+        out = default_id
+        for h in hooks:
+            out = h(column, keyword, out)
+        return out
+
+    return composed
 
 
 # --------------------------------------------------------------------------
@@ -147,7 +183,9 @@ def _type_check(types: List[str], c: Column, dtype: T.DataType) -> Optional[Colu
     """
     non_null = [t for t in types if t != "null"]
     if not non_null:
-        return None  # only null allowed → handled by required/nullability
+        # ONLY null allowed: any present (non-null) value fails — the caller's
+        # isNull guard turns this into "pass iff null" (draft-07 {type:null})
+        return F.lit(False)
 
     if isinstance(dtype, T.StringType):
         preds = []
@@ -520,15 +558,23 @@ def compile_column(
     out: List[CompiledCheck] = []
     c = F.col(name)
 
+    def rid(keyword: str) -> str:
+        # defName generation with InterceptDefName rewrite hook
+        # (``/root/reference/context.go:174-188``, ``reflect.go:780-837``)
+        default = f"{name}.{keyword}"
+        if opts.intercept_def_name is not None:
+            return opts.intercept_def_name(name, keyword, default)
+        return default
+
     if required:
         out.append(
-            CompiledCheck(f"{name}.required", name, "required", c.isNotNull(), "non-null")
+            CompiledCheck(rid("required"), name, "required", c.isNotNull(), "non-null")
         )
 
     if rule is True:
         checks = []
     elif rule is False:
-        checks = [CompiledCheck(f"{name}.false", name, "false", F.lit(False), "always-fail schema")]
+        checks = [CompiledCheck(rid("false"), name, "false", F.lit(False), "always-fail schema")]
     else:
         resolvers = [registry.resolver()] if registry is not None else []
         if opts.elide_trivial and rule.is_trivial(resolvers):
@@ -541,7 +587,7 @@ def compile_column(
                     raise CompileError(f"unresolvable $ref: {rule.ref}")
                 p = compile_pred(target, c, dtype, registry, opts, (rule.ref,))
                 checks.append(
-                    CompiledCheck(f"{name}.$ref", name, "$ref", p, f"$ref {rule.ref}")
+                    CompiledCheck(rid("$ref"), name, "$ref", p, f"$ref {rule.ref}")
                 )
             for kw, pred in _keyword_preds(rule, c, dtype, registry, opts, ()):
                 if pred is None:
@@ -549,7 +595,7 @@ def compile_column(
                 guarded = F.when(c.isNull(), F.lit(True)).otherwise(_null_pass(pred))
                 checks.append(
                     CompiledCheck(
-                        f"{name}.{kw}", name, kw, guarded, _EXPECTED_FMT[kw](rule)
+                        rid(kw), name, kw, guarded, _EXPECTED_FMT[kw](rule)
                     )
                 )
 

@@ -17,11 +17,67 @@ Runtime-defined overlays mirror the virtual ``Struct``
 
 from __future__ import annotations
 
-from typing import Optional
+from dataclasses import dataclass
+from typing import Callable, Optional
 
 from pyspark.sql import types as T
 
 from .rules import Rule, TableRule
+
+
+@dataclass
+class PropParams:
+    """``InterceptPropParams`` analog (``/root/reference/context.go:32-47``):
+    per-column context handed to property interceptors. ``table_rule`` is
+    live — a hook may e.g. append to ``metadata["required"]`` the way the
+    reference's customTags test appends to ``ParentSchema.Required``
+    (``reflect_test.go:1860-1880``)."""
+
+    name: str
+    dtype: T.DataType
+    rule: Rule
+    table_rule: TableRule
+
+
+@dataclass
+class NullabilityParams:
+    """``InterceptNullabilityParams`` analog (``context.go:79-95``), invoked
+    AFTER default nullability rules are applied; ``null_added`` mirrors
+    ``NullAdded``. Hooks mutate ``rule`` in place (``AddType``/``RemoveType``)."""
+
+    name: str
+    dtype: T.DataType
+    rule: Rule
+    null_added: bool
+
+
+def compose_prop_hooks(*hooks: Callable) -> Callable:
+    """Stack property interceptors like ``InterceptProp``
+    (``context.go:158-172``): earlier hooks run first; a hook may return a
+    replacement Rule (None keeps the current one); exceptions short-circuit
+    (the reference's error return)."""
+
+    def composed(params: PropParams) -> Optional[Rule]:
+        rule = params.rule
+        for h in hooks:
+            r = h(PropParams(params.name, params.dtype, rule, params.table_rule))
+            if r is not None:
+                rule = r
+        return rule
+
+    return composed
+
+
+def compose_nullability_hooks(*hooks: Callable) -> Callable:
+    """Stack nullability interceptors like ``InterceptNullability``
+    (``context.go:100-115``): ALL hooks run, earlier first (no
+    short-circuit)."""
+
+    def composed(params: NullabilityParams) -> None:
+        for h in hooks:
+            h(params)
+
+    return composed
 
 
 def infer_column_rule(dtype: T.DataType, nullable: bool = True) -> Rule:
@@ -95,6 +151,9 @@ def infer_table_rule(
     overlay: Optional[dict] = None,
     name: str = "table",
     type_mapping: Optional[dict] = None,
+    intercept_prop: Optional[Callable[[PropParams], Optional[Rule]]] = None,
+    intercept_nullability: Optional[Callable[[NullabilityParams], None]] = None,
+    envelop_nullability: bool = False,
 ) -> TableRule:
     """StructType + constraint overlay → TableRule.
 
@@ -108,6 +167,19 @@ def infer_table_rule(
     ``"decimal(10,2)"``, ``"string"``) to a rule-JSON dict used INSTEAD of
     the kindSwitch skeleton for columns of that type — ``AddTypeMapping``
     analog (``/root/reference/reflect.go:103-114``).
+
+    ``intercept_prop`` / ``intercept_nullability`` are the ``InterceptProp``
+    and ``InterceptNullability`` analogs (``/root/reference/context.go:
+    100-115,158-172``) — per-column hooks called after the overlay merge and
+    after default nullability, respectively; stack several with
+    :func:`compose_prop_hooks` / :func:`compose_nullability_hooks`.
+
+    ``envelop_nullability=True`` mirrors ``EnvelopNullability``
+    (``/root/reference/reflect.go:1361-1393``): a nullable ``$ref``'d column
+    rule is rewritten to the standards-conformant
+    ``anyOf: [{type: "null"}, {$ref: ...}]`` envelope instead of relying on
+    the engine's nullable bit ($ref siblings are ignored by strict draft-07
+    validators, so the null alternative must be lifted into anyOf).
     """
     type_mapping = {k: v for k, v in (type_mapping or {}).items()}
     overlay = dict(overlay or {})
@@ -149,6 +221,25 @@ def infer_table_rule(
             rule.reflect_unsigned = True
         if required:
             required_cols.append(f.name)
+        if intercept_prop is not None:
+            replacement = intercept_prop(PropParams(f.name, f.dataType, rule, tr))
+            if replacement is not None:
+                rule = replacement
+        if envelop_nullability and rule.ref is not None and nullable:
+            # EnvelopNullability (reflect.go:1375-1388): inner keeps the full
+            # schema (the reference copies *propertySchema), outer drops the
+            # ref and gains the anyOf envelope. The null member lives ONLY in
+            # the envelope (the reference never adds the null type to a ref'd
+            # schema — reflect.go:1371: AddType(Null) requires Ref == nil)
+            inner = Rule.from_dict(rule.to_dict())
+            inner.remove_type("null")
+            rule.ref = None
+            rule.remove_type("null")
+            rule.any_of = [Rule(type="null"), inner]
+        if intercept_nullability is not None:
+            intercept_nullability(
+                NullabilityParams(f.name, f.dataType, rule, rule.has_type("null"))
+            )
         tr.columns[f.name] = rule
     if overlay:
         raise ValueError(f"overlay references unknown columns: {sorted(overlay)}")

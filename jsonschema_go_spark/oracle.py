@@ -108,7 +108,10 @@ def sql_pred(
     if rule.type is not None:
         types = [rule.type] if isinstance(rule.type, str) else list(rule.type)
         non_null = [t for t in types if t != "null"]
-        if "integer" in non_null and elem_type == "double":
+        if not non_null:
+            # {type: null}: pass iff NULL (outer null-guard supplies the pass)
+            add("FALSE")
+        elif "integer" in non_null and elem_type == "double":
             add(f"({c} = floor({c}))")
         elif elem_type == "string" and non_null and "string" not in non_null:
             alts = []

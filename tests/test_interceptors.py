@@ -1,0 +1,185 @@
+"""Interceptor-chain parity + EnvelopNullability (VERDICT.md item 5).
+
+Mirrors the reference's hook semantics:
+- ``InterceptSchema`` stacking with drop short-circuit (context.go:124-140)
+- ``InterceptProp`` stacking, incl. the customTags pattern of appending to
+  the parent's required list (reflect_test.go:1860-1880)
+- ``InterceptNullability`` all-hooks-run stacking (context.go:100-115)
+- ``InterceptDefName`` name-transform composition (context.go:174-188)
+- ``EnvelopNullability`` anyOf(null, $ref) emission (reflect.go:1361-1393)
+- the nullable matrix of ``TestReflector_Reflect_nullable``
+  (reflect_test.go:1807-1840) re-expressed on Spark types
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_go_spark import CompileOptions, Rule, RuleRegistry, compile_pred
+from jsonschema_go_spark.compile import (
+    compile_column,
+    compose_def_names,
+    compose_intercept_checks,
+)
+from jsonschema_go_spark.infer import (
+    NullabilityParams,
+    PropParams,
+    compose_nullability_hooks,
+    compose_prop_hooks,
+    infer_table_rule,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("l1", T.ArrayType(T.StringType()), True),
+        T.StructField("l3", T.ArrayType(T.StringType()), True),
+        T.StructField("s1", T.StringType(), False),
+        T.StructField("s2", T.StringType(), True),
+        T.StructField("m1", T.MapType(T.StringType(), T.IntegerType()), True),
+        T.StructField("m2", T.MapType(T.StringType(), T.IntegerType()), True),
+    ]
+)
+
+
+def _types(rule: Rule):
+    t = rule.type
+    return t if isinstance(t, list) else [t]
+
+
+def test_nullable_matrix_mirrors_reference():
+    """reflect_test.go:1807: arrays/maps/pointers default to type [x, null];
+    nullable:"false" strips it; nullable:"true" forces it on a value type."""
+    tr = infer_table_rule(
+        SCHEMA,
+        overlay={
+            "l3": {"nullable": False},
+            "s1": {"nullable": True},
+            "s2": {"nullable": False},
+            "m2": {"nullable": False},
+        },
+    )
+    assert sorted(_types(tr.columns["l1"])) == ["array", "null"]
+    assert _types(tr.columns["l3"]) == ["array"]
+    assert sorted(_types(tr.columns["s1"])) == ["null", "string"]
+    assert _types(tr.columns["s2"]) == ["string"]
+    assert sorted(_types(tr.columns["m1"])) == ["null", "object"]
+    assert _types(tr.columns["m2"]) == ["object"]
+
+
+def test_nullability_hooks_all_run_in_order():
+    calls = []
+
+    def h1(p: NullabilityParams):
+        calls.append(("h1", p.name, p.null_added))
+        if isinstance(p.dtype, T.StringType) and p.rule.has_type("null"):
+            p.rule.remove_type("null")
+
+    def h2(p: NullabilityParams):
+        calls.append(("h2", p.name, p.null_added))
+
+    tr = infer_table_rule(
+        SCHEMA, intercept_nullability=compose_nullability_hooks(h1, h2)
+    )
+    # both hooks ran for every column, h1 before h2 (no short-circuit)
+    assert [c[0] for c in calls] == ["h1", "h2"] * len(SCHEMA.fields)
+    # h1's mutation took effect: strings lost the null member
+    assert _types(tr.columns["s2"]) == ["string"]
+    # arrays/maps untouched by h1
+    assert sorted(_types(tr.columns["l1"])) == ["array", "null"]
+
+
+def test_prop_hooks_stack_and_mutate_parent():
+    """customTags mirror: hook 1 appends to the table's required list; hook 2
+    sees hook 1's rule output (prev-first chaining)."""
+
+    def require_strings(p: PropParams):
+        if isinstance(p.dtype, T.StringType):
+            p.table_rule.metadata.setdefault("extra_required", []).append(p.name)
+        return None
+
+    def add_min_length(p: PropParams):
+        if isinstance(p.dtype, T.StringType):
+            r = Rule.from_dict(p.rule.to_dict())
+            r.min_length = 1
+            return r
+        return None
+
+    seen = []
+
+    def record(p: PropParams):
+        seen.append((p.name, p.rule.min_length))
+        return None
+
+    tr = infer_table_rule(
+        SCHEMA,
+        intercept_prop=compose_prop_hooks(require_strings, add_min_length, record),
+    )
+    assert tr.metadata["extra_required"] == ["s1", "s2"]
+    assert tr.columns["s1"].min_length == 1
+    # the recorder (3rd hook) saw the 2nd hook's replacement rule
+    assert ("s1", 1) in seen and ("s2", 1) in seen
+
+
+def test_intercept_checks_compose_with_drop_short_circuit(spark):
+    applied = []
+
+    def drop_b(ch):
+        if ch.column == "b":
+            return None
+        return ch
+
+    def tag(ch):
+        applied.append(ch.rule_id)
+        return ch
+
+    opts = CompileOptions(intercept_check=compose_intercept_checks(drop_b, tag))
+    checks_a = compile_column("a", Rule(minimum=1), T.IntegerType(), options=opts)
+    checks_b = compile_column("b", Rule(minimum=1), T.IntegerType(), options=opts)
+    assert [ch.rule_id for ch in checks_a] == ["a.minimum"]
+    assert checks_b == []
+    assert applied == ["a.minimum"]  # tag never ran on the dropped check
+
+
+def test_def_name_hooks_compose_prev_first(spark):
+    h1 = lambda col, kw, d: d.replace(".", "::")
+    h2 = lambda col, kw, d: f"chk_{d}"
+    opts = CompileOptions(intercept_def_name=compose_def_names(h1, h2))
+    checks = compile_column("a", Rule(minimum=1), T.IntegerType(), True, options=opts)
+    assert [ch.rule_id for ch in checks] == ["chk_a::required", "chk_a::minimum"]
+
+
+def test_envelop_nullability_emits_anyof(spark):
+    schema = T.StructType([T.StructField("v", T.IntegerType(), True)])
+    # ref rules enter inference via type_mapping (AddTypeMapping analog)
+    tr2 = infer_table_rule(
+        schema,
+        type_mapping={"int": {"$ref": "#/definitions/Pos"}},
+        envelop_nullability=True,
+    )
+    v = tr2.columns["v"]
+    assert v.ref is None
+    assert v.any_of is not None and len(v.any_of) == 2
+    assert v.any_of[0].type == "null" or "null" in _types(v.any_of[0])
+    assert v.any_of[1].ref == "#/definitions/Pos"
+
+    # and the envelope still VALIDATES correctly through the registry
+    registry = RuleRegistry()
+    registry.register("Pos", Rule(minimum=5))
+    df = spark.createDataFrame([(7,), (3,), (None,)], "v int")
+    pred = compile_pred(v, F.col("v"), T.IntegerType(), registry)
+    assert [r["p"] for r in df.select(pred.alias("p")).collect()] == [
+        True,
+        False,
+        True,
+    ]
+
+
+def test_envelop_nullability_off_keeps_ref(spark):
+    schema = T.StructType([T.StructField("v", T.IntegerType(), True)])
+    tr = infer_table_rule(
+        schema, type_mapping={"int": {"$ref": "#/definitions/Pos"}}
+    )
+    assert tr.columns["v"].ref == "#/definitions/Pos"
+    assert tr.columns["v"].any_of is None
