@@ -24,6 +24,7 @@ from typing import List, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..compile import CompiledCheck, CompileOptions
 from ..rules import TableRule
@@ -89,6 +90,39 @@ class ValidationPlan:
         if ordered:
             out = out.orderBy(*keys, "rule_id")
         return out
+
+    def violations_sampled(
+        self,
+        df: DataFrame,
+        keys: Sequence[str],
+        max_per_rule: int = 1000,
+        bucket_col: Optional[str] = None,
+    ) -> DataFrame:
+        """Violations capped at ``max_per_rule`` rows per (rule_id[, bucket]).
+
+        For pathological inputs where one rule fails EVERY row, full
+        materialization is O(rows) output; sampling keeps triage usable and
+        output bounded. Two-phase cap so the skewed rule never needs a
+        single-reducer sort of all its failures: a deterministic salt
+        (xxhash64 of the keys) first caps each of 64 salt slices, shrinking
+        the global ranking input to ≤ 64 × cap rows per rule; ranking is by
+        ``keys`` so the result is deterministic (the FIRST cap rows in key
+        order, matching the byte-stable ordering contract).
+        """
+        viol = self.violations(df, keys, ordered=False)
+        part = ["rule_id"] + ([bucket_col] if bucket_col else [])
+        key_cols = [F.col(k) for k in keys]
+        salt = F.pmod(F.xxhash64(*key_cols), F.lit(64)).alias("_salt")
+        w_local = Window.partitionBy(*part, "_salt").orderBy(*keys)
+        w_global = Window.partitionBy(*part).orderBy(*keys)
+        return (
+            viol.withColumn("_salt", salt)
+            .withColumn("_rn", F.row_number().over(w_local))
+            .where(F.col("_rn") <= max_per_rule)
+            .withColumn("_rn", F.row_number().over(w_global))
+            .where(F.col("_rn") <= max_per_rule)
+            .drop("_salt", "_rn")
+        )
 
     def verdicts(
         self,

@@ -343,6 +343,44 @@ _register(
 )
 
 
+def q_ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with exhaustive probes (n_probe == n_cells) — exactly equals
+    brute force (pytest-proven), so the brute-force SQL is its oracle. The
+    production path lowers n_probe to read a fraction of the cells; see
+    ann_recall_report for the measured recall/cost trade."""
+    df = _read(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        df, "vec_id", "embedding", _ANN_QUERY_IDS, k=5, n_cells=16, n_probe=16
+    )
+
+
+_register("ann_ivf_topk_embeddings", q_ann_ivf_topk_embeddings, ORACLES["ann_topk_embeddings"])
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: recall@5 of probe-limited IVF vs brute force per n_probe —
+    makes the accuracy/cost trade of the 100 TB path visible
+    (n_probe/n_cells is the fraction of storage buckets read per query)."""
+    df = _read(spark, sf_dir, "embeddings")
+    truth = sim.cosine_topk(df, "vec_id", "embedding", _ANN_QUERY_IDS, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    reports = []
+    for n_probe in (1, 2, 4):
+        approx = sim.ivf_topk(
+            df, "vec_id", "embedding", _ANN_QUERY_IDS, k=5, n_cells=16, n_probe=n_probe
+        ).select("query_id", "neighbor_id")
+        hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
+        total = truth.count()
+        reports.append((n_probe, hits, total, round(hits / total, 4)))
+    return spark.createDataFrame(
+        reports, "n_probe int, hits long, truth_size long, recall double"
+    )
+
+
+_register("ann_recall_report", q_ann_recall_report, None)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "embeddings")
     return sim.embedding_near_dup_pairs(
