@@ -46,16 +46,68 @@ _NUMERIC_TYPES = (
 _INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+def to_camel(s: str) -> str:
+    """CamelCase conversion with the reference's rules
+    (``/root/reference/camelcase.go:14-50``): digit runs are split from
+    letters and kept, separators (``_ - . space``) capitalize the next
+    letter, everything else is dropped."""
+    s = re.sub(r"([a-zA-Z])(\d+)([a-zA-Z]?)", r"\1 \2 \3", s).strip()
+    out, cap_next = [], True
+    for ch in s:
+        if ch.isupper() or ch.isdigit() or ch in "[]":
+            out.append(ch)
+        elif ch.islower():
+            out.append(ch.upper() if cap_next else ch)
+        cap_next = ch in "_ -.[]"
+    return "".join(out)
+
+
+class DefNameRegistry:
+    """Definition-name generator with camelCase + conflict suffixing —
+    ``Reflector.defName`` analog (``/root/reference/reflect.go:780-837``):
+    the same owner always gets the same name; a different owner colliding on
+    a taken name gets ``Type2``, ``Type3``, … appended."""
+
+    def __init__(self, rewrite: Optional[Callable[[str, str], str]] = None) -> None:
+        #: optional (owner, default_name) -> name hook (DefName analog)
+        self.rewrite = rewrite
+        self._names: Dict[str, str] = {}  # name -> owner key
+
+    def name_for(self, owner: str, raw: str) -> str:
+        attempt = 1
+        while True:
+            name = to_camel(raw)
+            if self.rewrite is not None:
+                name = self.rewrite(owner, name)
+            if attempt > 1:
+                name = f"{name}Type{attempt}"
+            taken_by = self._names.get(name)
+            if taken_by is None or taken_by == owner:
+                self._names[name] = owner
+                return name
+            attempt += 1
+
+
 class RuleRegistry:
     """Shared-definition registry — the compiled-predicate analog of
     ``rc.definitions`` + ``reflectDefer`` (``/root/reference/reflect.go:327-381``).
 
     Keys are ``$ref`` strings (``#/definitions/Name``); JSON-pointer escaping
     ``~0``/``~1``/``%25`` mirrors ``Ref`` (``/root/reference/reflect.go:72-90``).
+
+    ``on_register`` streams every (name, rule) registration to a callback —
+    the ``CollectDefinitions`` analog (``/root/reference/context.go:12-16``):
+    at cluster scale rule documents for thousands of tables are collected
+    into an external catalog instead of accumulating in one document.
     """
 
-    def __init__(self, prefix: str = "#/definitions/") -> None:
+    def __init__(
+        self,
+        prefix: str = "#/definitions/",
+        on_register: Optional[Callable[[str, RuleOrBool], None]] = None,
+    ) -> None:
         self.prefix = prefix
+        self.on_register = on_register
         self._defs: Dict[str, RuleOrBool] = {}
 
     @staticmethod
@@ -65,6 +117,8 @@ class RuleRegistry:
     def register(self, name: str, rule: RuleOrBool) -> str:
         ref = self.prefix + self.escape(name)
         self._defs[ref] = rule
+        if self.on_register is not None:
+            self.on_register(name, rule)
         return ref
 
     def resolve(self, ref: str) -> Optional[RuleOrBool]:
@@ -106,6 +160,12 @@ class CompileOptions:
     #: analog (``/root/reference/context.go:174-188``); compose several with
     #: :func:`compose_def_names`
     intercept_def_name: Optional[Callable[[str, str, str], str]] = None
+    #: CamelCase rule ids with conflict suffixing via DefNameRegistry
+    #: (``reflect.go:780-837`` naming; default keeps `col.keyword` ids)
+    camel_def_names: bool = False
+    #: stream (name, rule) definition registrations — CollectDefinitions
+    #: analog (``/root/reference/context.go:12-16``)
+    collect_definitions: Optional[Callable[[str, "RuleOrBool"], None]] = None
     #: False (default): unknown `format` names are annotations (always-pass);
     #: True: unknown formats raise CompileError at compile time
     strict_formats: bool = False
@@ -548,6 +608,7 @@ def compile_column(
     required: bool = False,
     registry: Optional[RuleRegistry] = None,
     options: Optional[CompileOptions] = None,
+    def_names: Optional[DefNameRegistry] = None,
 ) -> List[CompiledCheck]:
     """Compile one column's rule to per-keyword checks (granular rule_ids for
     violation rows). Trivial rules compile to nothing when
@@ -558,10 +619,15 @@ def compile_column(
     out: List[CompiledCheck] = []
     c = F.col(name)
 
+    names = def_names if def_names is not None else DefNameRegistry()
+
     def rid(keyword: str) -> str:
         # defName generation with InterceptDefName rewrite hook
         # (``/root/reference/context.go:174-188``, ``reflect.go:780-837``)
-        default = f"{name}.{keyword}"
+        if opts.camel_def_names:
+            default = names.name_for(f"{name}.{keyword}", f"{name} {keyword}")
+        else:
+            default = f"{name}.{keyword}"
         if opts.intercept_def_name is not None:
             return opts.intercept_def_name(name, keyword, default)
         return default
@@ -618,18 +684,21 @@ def compile_table(
     from .plans.plan import ValidationPlan  # local import to avoid cycle
 
     opts = options or CompileOptions()
-    registry = RuleRegistry(opts.definitions_prefix)
+    registry = RuleRegistry(opts.definitions_prefix, on_register=opts.collect_definitions)
     required_cols = set(table_rule.metadata.get("required", []))
     for col, r in table_rule.columns.items():
         if isinstance(r, Rule):
             registry.load_definitions(r)
 
+    def_names = DefNameRegistry() if opts.camel_def_names else None
     checks: List[CompiledCheck] = []
     for col, r in table_rule.columns.items():
         if col not in schema.names:
             raise CompileError(f"rule references unknown column: {col}")
         checks.extend(
-            compile_column(col, r, schema[col].dataType, col in required_cols, registry, opts)
+            compile_column(
+                col, r, schema[col].dataType, col in required_cols, registry, opts, def_names
+            )
         )
     plan = ValidationPlan(table_rule=table_rule, checks=checks, options=opts)
     if opts.prepare_plan is not None:

@@ -183,3 +183,56 @@ def test_envelop_nullability_off_keeps_ref(spark):
     )
     assert tr.columns["v"].ref == "#/definitions/Pos"
     assert tr.columns["v"].any_of is None
+
+
+# ------------------------------------------- defName machinery (reflect.go:780)
+
+def test_to_camel_matches_reference_rules():
+    from jsonschema_go_spark.compile import to_camel
+
+    # camelcase.go:14-50 semantics: separators capitalize, digit runs split
+    assert to_camel("turn_idx") == "TurnIdx"
+    assert to_camel("conv-id") == "ConvId"
+    assert to_camel("a.b c") == "ABC"
+    assert to_camel("user2name") == "User2Name"
+    assert to_camel("already Camel") == "AlreadyCamel"
+
+
+def test_def_name_registry_conflict_suffixing():
+    from jsonschema_go_spark.compile import DefNameRegistry
+
+    reg = DefNameRegistry()
+    assert reg.name_for("owner1", "turn_idx") == "TurnIdx"
+    # same owner: stable name
+    assert reg.name_for("owner1", "turn_idx") == "TurnIdx"
+    # different owner colliding on the camel name: Type2 suffix
+    assert reg.name_for("owner2", "turn.idx") == "TurnIdxType2"
+    assert reg.name_for("owner3", "turn idx") == "TurnIdxType3"
+
+
+def test_camel_def_names_option(spark):
+    opts = CompileOptions(camel_def_names=True)
+    checks = compile_column(
+        "turn_idx", Rule(minimum=0), T.IntegerType(), True, options=opts
+    )
+    assert [ch.rule_id for ch in checks] == ["TurnIdxRequired", "TurnIdxMinimum"]
+
+
+def test_collect_definitions_streams_registrations(spark):
+    from jsonschema_go_spark import TableRule, compile_table
+
+    seen = []
+    opts = CompileOptions(collect_definitions=lambda n, r: seen.append(n))
+    tr = TableRule(
+        name="t",
+        columns={
+            "v": Rule(
+                ref="#/definitions/Pos",
+                definitions={"Pos": Rule(minimum=0), "Neg": Rule(maximum=0)},
+            )
+        },
+    )
+    schema = T.StructType([T.StructField("v", T.IntegerType(), True)])
+    plan = compile_table(tr, schema, opts)
+    assert sorted(seen) == ["Neg", "Pos"]
+    assert [c.rule_id for c in plan.checks] == ["v.$ref"]
