@@ -73,6 +73,127 @@ def drift_report(
     return _reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def drift_report_grouped(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    categorical: Sequence[str] = (),
+    numeric: Sequence[str] = (),
+    ks_buckets: int = 1024,
+    chi2_threshold: float = 30.0,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Many-column drift report in ONE data pass per snapshot (SURVEY.md §2.3
+    grouped-Arrow-UDF path; ROADMAP item 5).
+
+    :func:`drift_report` plans one aggregate per column — fine for dozens,
+    wasteful for hundreds (N full scans). This variant melts every checked
+    column into long form (column, value) with a single ``explode``, runs ONE
+    hash-agg over all columns at once, then computes each column's statistic
+    from its aggregated counts in a grouped ``applyInPandas`` (Arrow-batched;
+    each group is ≤ distinct-values/bins rows, so Python touches tiny data).
+    Numeric columns use the binned-KS formulation (same bins as
+    :func:`ks_binned`); categorical use the identical chi-square formula —
+    results match the per-column operators exactly (tested).
+
+    Output: ``(column, test, statistic, drifted)`` — same shape as
+    :func:`drift_report`.
+    """
+    import pandas as pd
+
+    if not categorical and not numeric:
+        raise ValueError("no columns to check")
+
+    bounds = {}
+    if numeric:
+        aggs = []
+        for c in numeric:
+            v = F.col(c).cast("double")
+            aggs += [F.min(v).alias(f"mn_{c}"), F.max(v).alias(f"mx_{c}")]
+        ba, bb = df_a.agg(*aggs).first(), df_b.agg(*aggs).first()
+        for c in numeric:
+            lo = min(ba[f"mn_{c}"], bb[f"mn_{c}"])
+            hi = max(ba[f"mx_{c}"], bb[f"mx_{c}"])
+            bounds[c] = (lo, (hi - lo) or 1.0)
+
+    def melt(df: DataFrame, snap: str) -> DataFrame:
+        structs = []
+        for c in categorical:
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit("chi_square").alias("test"),
+                    F.col(c).cast("string").alias("val_str"),
+                    F.lit(None).cast("long").alias("val_num"),
+                    F.col(c).isNull().alias("_null"),
+                )
+            )
+        for c in numeric:
+            lo, span = bounds[c]
+            v = F.col(c).cast("double")
+            b = F.least(
+                F.greatest(F.floor((v - F.lit(lo)) / F.lit(span) * ks_buckets), F.lit(0)),
+                F.lit(ks_buckets - 1),
+            ).cast("long")
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit("ks").alias("test"),
+                    F.lit(None).cast("string").alias("val_str"),
+                    b.alias("val_num"),
+                    F.col(c).isNull().alias("_null"),
+                )
+            )
+        return (
+            df.select(F.explode(F.array(*structs)).alias("m"))
+            .select(F.lit(snap).alias("snap"), "m.*")
+            .where(~F.col("_null"))
+            .drop("_null")
+        )
+
+    counts = (
+        melt(df_a, "a")
+        .unionByName(melt(df_b, "b"))
+        .groupBy("column", "test", "val_str", "val_num", "snap")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def stat(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        col, test = pdf["column"].iloc[0], pdf["test"].iloc[0]
+        if test == "chi_square":
+            piv = pdf.pivot_table(
+                index="val_str", columns="snap", values="cnt", aggfunc="sum", fill_value=0
+            )
+            for s in ("a", "b"):
+                if s not in piv.columns:
+                    piv[s] = 0
+            o = piv[["a", "b"]].to_numpy(dtype="float64")
+            rt, ct, n = o.sum(axis=1, keepdims=True), o.sum(axis=0, keepdims=True), o.sum()
+            e = rt @ ct / n
+            # observed cells only — chi_square() builds its cell set from a
+            # groupBy of PRESENT (group, value) pairs, so zero cells do not
+            # contribute their (0-e)^2/e term; mirror that exactly
+            statistic = float(((o - e) ** 2 / e)[(o > 0) & (e > 0)].sum())
+            drifted = statistic > chi2_threshold
+        else:
+            piv = pdf.pivot_table(
+                index="val_num", columns="snap", values="cnt", aggfunc="sum", fill_value=0
+            ).sort_index()
+            for s in ("a", "b"):
+                if s not in piv.columns:
+                    piv[s] = 0
+            ca, cb = piv["a"].to_numpy("float64"), piv["b"].to_numpy("float64")
+            na, nb = ca.sum(), cb.sum()
+            statistic = float(abs(ca.cumsum() / na - cb.cumsum() / nb).max())
+            drifted = statistic > ks_threshold
+        return pd.DataFrame(
+            [{"column": col, "test": test, "statistic": statistic, "drifted": bool(drifted)}]
+        )
+
+    return counts.groupBy("column").applyInPandas(
+        stat, "column string, test string, statistic double, drifted boolean"
+    )
+
+
 def chi_square(
     df: DataFrame,
     group_col: str,

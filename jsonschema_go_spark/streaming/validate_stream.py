@@ -71,6 +71,74 @@ def windowed_violation_counts(
     )
 
 
+def stateful_contiguity_stream(
+    stream: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the mandate's
+    named surface for operators Spark lacks): incremental per-conversation
+    turn-chain tracking across micro-batches.
+
+    State per conversation is O(1) — ``(rows, min_idx, max_idx, idx_sum)`` —
+    and the contiguity verdict is re-derived on every update:
+    ``min==1 ∧ max==rows ∧ sum==rows(rows+1)/2`` (the arithmetic-series
+    invariant; a near-exact summary that needs no per-turn set. The batch
+    operator ``uniqueness.contiguity`` with its distinct-count is the exact
+    form — this is the bounded-state streaming rendition). Emits one updated
+    row per conversation per micro-batch touching it → update-mode sink.
+
+    Arrow-batched pandas; no per-row Python.
+    """
+    import pandas as pd  # noqa: F401  (used inside the worker closure)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{conv_col} string, rows long, min_idx int, max_idx int, "
+        "idx_sum long, contiguous boolean"
+    )
+    state_schema = "rows long, min_idx int, max_idx int, idx_sum long"
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        rows, mn, mx, sm = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        for pdf in pdfs:
+            idx = pdf[idx_col].dropna()
+            if len(idx) == 0:
+                continue
+            rows += int(len(idx))
+            bmn, bmx = int(idx.min()), int(idx.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+            sm += int(idx.sum())
+        state.update((rows, mn, mx, sm))
+        contiguous = (
+            rows > 0
+            and mn == 1
+            and mx == rows
+            and sm == rows * (rows + 1) // 2
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    conv_col: key[0],
+                    "rows": rows,
+                    "min_idx": mn,
+                    "max_idx": mx,
+                    "idx_sum": sm,
+                    "contiguous": bool(contiguous),
+                }
+            ]
+        )
+
+    return stream.groupBy(conv_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def conversation_verdict_stream(
     plan: ValidationPlan,
     stream: DataFrame,

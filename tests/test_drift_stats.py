@@ -7,6 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from jsonschema_go_spark.operators import drift as dr
+
+from .conftest import SF_DIR
 from jsonschema_go_spark.operators import stats as st
 
 
@@ -146,3 +148,29 @@ def test_repair_mode(spark):
     repaired = plan.repair(df).collect()
     assert [r["s"] for r in repaired] == ["a", "baz", "c"]
     assert [r["n"] for r in repaired] == [0, 5, 7]
+
+
+def test_drift_report_grouped_matches_per_column(spark):
+    """The grouped-Arrow-UDF many-column path must reproduce the per-column
+    DataFrame operators exactly (same chi-square cell set, same KS bins)."""
+    from jsonschema_go_spark.operators import drift as d
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+
+    per_col = d.drift_report(
+        a, b, categorical=["event_type"], numeric=["value", "user_id"],
+        ks_buckets=256,
+    )
+    grouped = d.drift_report_grouped(
+        a, b, categorical=["event_type"], numeric=["value", "user_id"],
+        ks_buckets=256,
+    )
+    pc = {r["column"]: r for r in per_col.collect()}
+    gr = {r["column"]: r for r in grouped.collect()}
+    assert set(pc) == set(gr) == {"event_type", "value", "user_id"}
+    for c in pc:
+        assert pc[c]["test"] == gr[c]["test"]
+        assert gr[c]["statistic"] == pytest.approx(pc[c]["statistic"], rel=1e-9)
+        assert pc[c]["drifted"] == gr[c]["drifted"]

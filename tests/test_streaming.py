@@ -84,3 +84,33 @@ def test_conversation_verdicts_stream(stream_env):
         (got["rows"] != want["rows"]) | (got["passed"] != want["passed"])
     )
     assert mismatches.count() == 0
+
+
+def test_stateful_contiguity_stream(stream_env):
+    """applyInPandasWithState custom stateful operator: the final emitted
+    state per conversation must agree with the batch contiguity operator."""
+    from jsonschema_go_spark.operators import uniqueness as uq
+    from jsonschema_go_spark.streaming.validate_stream import (
+        stateful_contiguity_stream,
+    )
+
+    spark, batch, stream, plan, root = stream_env
+    _run(
+        stateful_contiguity_stream(stream, "conv_id", "turn_idx"),
+        "update", root, "stately",
+    )
+    # update mode re-emits a conv's row each micro-batch; keep the last state
+    # (max rows) per conversation
+    got = (
+        spark.sql("SELECT * FROM stately")
+        .groupBy("conv_id")
+        .agg(
+            F.max("rows").alias("rows"),
+            F.max_by("contiguous", "rows").alias("contiguous"),
+        )
+    )
+    want = uq.contiguity(batch, "conv_id", "turn_idx", start=1)
+    assert got.count() == want.count()
+    j = got.join(want.withColumnRenamed("contiguous", "want_c"), "conv_id")
+    assert j.where(F.col("contiguous") != F.col("want_c")).count() == 0
+    assert got.where(~F.col("contiguous")).count() == want.where(~F.col("contiguous")).count()
