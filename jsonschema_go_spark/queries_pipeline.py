@@ -404,14 +404,17 @@ _register(
 
 def _neardup_corpus(df: DataFrame) -> DataFrame:
     """Deterministic near-dup injection: every 10th vector re-inserted with a
-    +0.1 bump on every 7th dimension (cos ≈ 0.998 to its source) — same
-    construction in the oracle SQL."""
+    ×1.25 scale on every 7th dimension — a MULTIPLICATIVE perturbation, so
+    the angle to the source is norm-independent (cos ≈ 0.996 for every
+    vector; an additive bump made small-norm vectors fall near the 0.9
+    threshold where banded-LSH recall is probabilistic). Same construction
+    in the oracle SQL."""
     pert = df.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
         F.transform(
             F.col("embedding"),
             lambda x, i: x.cast("double")
-            + F.when(i % 7 == 0, F.lit(0.1)).otherwise(F.lit(0.0)),
+            * F.when(i % 7 == 0, F.lit(1.25)).otherwise(F.lit(1.0)),
         ).alias("embedding"),
     )
     base = df.select(
@@ -425,7 +428,7 @@ _NEARDUP_CORPUS_SQL = """
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id,
              list_transform(generate_series(1, len(embedding)),
-                            i -> embedding[i]::DOUBLE + CASE WHEN (i - 1) % 7 = 0 THEN 0.1 ELSE 0.0 END) AS embedding
+                            i -> embedding[i]::DOUBLE * CASE WHEN (i - 1) % 7 = 0 THEN 1.25 ELSE 1.0 END) AS embedding
       FROM embeddings WHERE vec_id % 10 = 0
 """
 
@@ -436,9 +439,11 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 8 planes the LSH recall on the injected pairs is 1.0 (P(miss) ~ 1e-13
     at cos ≈ 0.998), so both sides produce identical pairs."""
     corpus = _neardup_corpus(_read(spark, sf_dir, "embeddings"))
+    # r=12 makes 4096 keys/band → far fewer random collisions to verify than
+    # r=8 (256 keys); recall at the injected pairs' cos≈0.998 stays ~1-1e-10
     return sim.lsh_near_dup_pairs(
         corpus, "vec_id", "embedding", dim=64, threshold=0.9,
-        bands=16, rows_per_band=8,
+        bands=16, rows_per_band=12,
     )
 
 
