@@ -56,9 +56,15 @@ def cosine_topk(
     scan. Deterministic tie-break: (cos desc, neighbor_id asc).
     """
     q = df.where(F.col(id_col).isin(*list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    cand = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(cand)
@@ -66,7 +72,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -96,17 +104,29 @@ def embedding_near_dup_pairs(
     shipped an O(N) slice to every executor — OOM at 100 TB). For the scale
     path use :func:`lsh_near_dup_pairs` (banded candidates, exact verify).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    # norms once per vector (not per pair): each pair costs ONE fold (the
+    # dot), not three — same floating-point value, 2.5× fewer interpreted ops
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
     if sample_mod:
         a = a.where(F.col("id_a") % sample_mod == 0)
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
