@@ -299,6 +299,67 @@ def _simhash_sql() -> str:
 _register("dedup_simhash_documents", q_dedup_simhash_documents, _simhash_sql())
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (pigeonhole candidates + exact Hamming verify).
+    At max_hamming=3 with 4 chunks the pigeonhole is lossless (≤3 flipped
+    bits cannot touch all 4 chunks), so the all-pairs oracle is exact."""
+    base = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "text"
+    )
+    dups = base.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    corpus = base.unionByName(dups)
+    return dd.simhash_near_pairs(corpus, "doc_id", "text", max_hamming=3)
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    hexs = "0123456789abcdef"
+    sums = []
+    for b in range(64):
+        pos, shift = b // 4 + 1, 2 ** (3 - b % 4)
+        bit = (
+            f"(CAST(floor((strpos('{hexs}', substring(h, {pos}, 1)) - 1) / {shift}) AS BIGINT) % 2)"
+        )
+        sums.append(f"SUM({bit} * 2 - 1) AS s{b}")
+    digits = []
+    for d in range(16):
+        val = " + ".join(
+            f"(CASE WHEN s{d * 4 + j} > 0 THEN {2 ** (3 - j)} ELSE 0 END)"
+            for j in range(4)
+        )
+        digits.append(f"substring('{hexs}', ({val}) + 1, 1)")
+    concat = " || ".join(digits)
+    norm = NORM.format(c="text")
+    ham = " + ".join(
+        f"bit_count(xor(strpos('{hexs}', substring(a.sig, {i + 1}, 1)) - 1, "
+        f"strpos('{hexs}', substring(b.sig, {i + 1}, 1)) - 1))"
+        for i in range(16)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 7 = 0 AND doc_id % 50 = 0
+    ),
+    w AS (
+      SELECT doc_id, md5(word) AS h FROM (
+        SELECT doc_id, unnest(string_split({norm}, ' ')) AS word
+        FROM corpus WHERE text IS NOT NULL
+      ) WHERE length(word) > 0
+    ),
+    s AS (SELECT doc_id, {", ".join(sums)} FROM w GROUP BY doc_id),
+    sig AS (SELECT doc_id, {concat} AS sig FROM s)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+_register("dedup_simhash_pairs", q_dedup_simhash_pairs, _simhash_pairs_sql(3))
+
+
 # -------------------------------------------------------- similarity search
 
 _ANN_QUERY_IDS = [0, 50, 100, 150, 200]
