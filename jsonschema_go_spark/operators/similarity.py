@@ -238,15 +238,18 @@ def ivf_index(
         .select(
             F.row_number().over(Window.orderBy(id_col)).alias("cell"),
             F.col(vec_col).alias("_cent"),
+            norm(F.col(vec_col)).alias("_centn"),
         )
     )
-    scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
-        F.broadcast(cents)
-    ).select(
+    # vector norms once per row; centroid norms once per centroid — each of
+    # the n_cells assignment scores then costs a single dot fold
+    scored = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn")
+    ).crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
         "cell",
-        cosine(F.col(vec_col), F.col("_cent")).alias("_sim"),
+        (dot(F.col(vec_col), F.col("_cent")) / (F.col("_vn") * F.col("_centn"))).alias("_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
     return (
@@ -273,7 +276,9 @@ def ivf_topk(
     ``n_probe/n_cells`` fraction of the scan — the 100 TB path where cells
     are storage buckets and unprobed buckets are never read.
     """
-    index = ivf_index(df, id_col, vec_col, n_cells)
+    index = ivf_index(df, id_col, vec_col, n_cells).withColumn(
+        "_in", norm(F.col(vec_col))
+    )
     cents = (
         df.orderBy(id_col)
         .limit(n_cells)
@@ -283,16 +288,18 @@ def ivf_topk(
         )
     )
     q = df.where(F.col(id_col).isin(*list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
     probes = (
         F.broadcast(q)
         .crossJoin(F.broadcast(cents))
-        .select("query_id", "_qv", "cell", cosine(F.col("_qv"), F.col("_cent")).alias("_sim"))
+        .select("query_id", "_qv", "_qn", "cell", cosine(F.col("_qv"), F.col("_cent")).alias("_sim"))
         .withColumn("_rk", F.row_number().over(wq))
         .where(F.col("_rk") <= n_probe)
-        .select("query_id", "_qv", "cell")
+        .select("query_id", "_qv", "_qn", "cell")
     )
     scored = (
         probes.join(index, "cell")
@@ -300,7 +307,9 @@ def ivf_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("_qv"), F.col(vec_col)), 6).alias("cos"),
+            F.round(
+                dot(F.col("_qv"), F.col(vec_col)) / (F.col("_qn") * F.col("_in")), 6
+            ).alias("cos"),
         )
         .groupBy("query_id", "neighbor_id")  # a neighbor may match via several probes
         .agg(F.max("cos").alias("cos"))
