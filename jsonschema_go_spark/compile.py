@@ -197,6 +197,21 @@ def compose_intercept_checks(*hooks: Callable) -> Callable:
     return composed
 
 
+def strip_def_name_prefix(*prefixes: str) -> Callable[[str, str, str], str]:
+    """``StripDefinitionNamePrefix`` analog
+    (``/root/reference/context.go:223-229``, ``strings.TrimPrefix`` over the
+    configured prefixes): returns an ``intercept_def_name`` hook removing the
+    first matching prefix from generated rule ids."""
+
+    def hook(column: str, keyword: str, default_id: str) -> str:
+        for p in prefixes:
+            if default_id.startswith(p):
+                return default_id[len(p):]
+        return default_id
+
+    return hook
+
+
 def compose_def_names(*hooks: Callable) -> Callable:
     """Compose rule-id interceptors the way ``InterceptDefName`` stacks
     (``/root/reference/context.go:174-188``): each hook receives the previous

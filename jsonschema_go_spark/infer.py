@@ -127,6 +127,22 @@ def infer_column_rule(dtype: T.DataType, nullable: bool = True) -> Rule:
     return r
 
 
+_SUPPORTED_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+    T.DoubleType, T.DecimalType, T.BooleanType, T.StringType, T.BinaryType,
+    T.TimestampType, T.TimestampNTZType, T.DateType, T.ArrayType, T.MapType,
+    T.StructType,
+)
+
+
+def _json_type_for(dtype: T.DataType) -> Optional[str]:
+    """JSON type a Spark type maps to, or None when unsupported (the
+    kindSwitch `default` branch — ``reflect.go:966-971``)."""
+    if isinstance(dtype, _SUPPORTED_TYPES):
+        return "known"
+    return None
+
+
 _OVERLAY_KEYS = {
     # field-tag vocabulary (README.md:73-113) → Rule attributes
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
@@ -154,6 +170,8 @@ def infer_table_rule(
     intercept_prop: Optional[Callable[[PropParams], Optional[Rule]]] = None,
     intercept_nullability: Optional[Callable[[NullabilityParams], None]] = None,
     envelop_nullability: bool = False,
+    skip_embedded_maps_slices: bool = False,
+    skip_unsupported: bool = False,
 ) -> TableRule:
     """StructType + constraint overlay → TableRule.
 
@@ -174,6 +192,13 @@ def infer_table_rule(
     after default nullability, respectively; stack several with
     :func:`compose_prop_hooks` / :func:`compose_nullability_hooks`.
 
+    ``skip_embedded_maps_slices=True`` mirrors ``SkipEmbeddedMapsSlices``
+    (``/root/reference/context.go:231-236``): map/array columns with NO
+    explicit overlay are left out of the rule document entirely (no inferred
+    skeleton). ``skip_unsupported=True`` mirrors ``SkipUnsupportedProperties``
+    (``context.go:238-243``): columns whose Spark type maps to no JSON type
+    are dropped instead of carried as unconstrained rules.
+
     ``envelop_nullability=True`` mirrors ``EnvelopNullability``
     (``/root/reference/reflect.go:1361-1393``): a nullable ``$ref``'d column
     rule is rewritten to the standards-conformant
@@ -190,7 +215,16 @@ def infer_table_rule(
     tr = TableRule(name=name, unique=unique, contiguous=contiguous, monotonic=monotonic)
     required_cols = []
     for f in schema.fields:
+        has_overlay = f.name in overlay
         cfg = dict(overlay.pop(f.name, {}))
+        if (
+            skip_embedded_maps_slices
+            and isinstance(f.dataType, (T.MapType, T.ArrayType))
+            and not has_overlay
+        ):
+            continue
+        if skip_unsupported and _json_type_for(f.dataType) is None:
+            continue
         required = bool(cfg.pop("required", not f.nullable))
         nullable = bool(cfg.pop("nullable", f.nullable and not required))
         unsigned = bool(cfg.pop("unsigned", False))

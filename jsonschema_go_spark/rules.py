@@ -502,3 +502,57 @@ class TableRule:
     @classmethod
     def from_json(cls, s: str) -> "TableRule":
         return cls.from_dict(json.loads(s))
+
+
+def inline_refs(rule: "RuleOrBool", resolver) -> "RuleOrBool":
+    """``InlineRefs`` analog (``/root/reference/context.go:216-221``): rewrite
+    a rule document with every resolvable ``$ref`` replaced by its definition
+    inline, recursively.
+
+    Semantics preserved exactly: a node carrying BOTH ``$ref`` and other
+    keywords validates as their conjunction in this engine, so the inlined
+    definition lands in ``allOf`` next to the sibling keywords; a pure-ref
+    node is replaced wholesale. Cyclic refs (self-recursive definitions) stay
+    as refs — inlining them would not terminate, matching the reference's
+    behavior of keeping recursive definitions ref'd.
+
+    ``resolver``: ``ref string -> RuleOrBool | None`` (e.g.
+    ``RuleRegistry.resolver()``); unresolvable refs are kept verbatim.
+    """
+
+    def walk(node, stack):
+        if isinstance(node, bool) or not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "$ref":
+                out[k] = v
+            elif isinstance(v, (dict, bool)):
+                out[k] = walk(v, stack)
+            elif isinstance(v, list):
+                out[k] = [
+                    walk(x, stack) if isinstance(x, (dict, bool)) else x for x in v
+                ]
+            else:
+                out[k] = v
+        ref = out.pop("$ref", None)
+        if ref is not None:
+            target = None if ref in stack else resolver(ref)
+            if target is None:
+                out["$ref"] = ref  # cycle or unresolvable: keep the ref
+            else:
+                t = (
+                    target
+                    if isinstance(target, bool)
+                    else walk(target.to_dict(), stack + (ref,))
+                )
+                if not out:
+                    return t  # pure-ref node: replace wholesale
+                if t is not True:  # `true` schema adds nothing to a conjunction
+                    out.setdefault("allOf", []).append(t)
+        return out
+
+    if isinstance(rule, bool):
+        return rule
+    result = walk(rule.to_dict(), ())
+    return result if isinstance(result, bool) else Rule.from_dict(result)

@@ -236,3 +236,72 @@ def test_collect_definitions_streams_registrations(spark):
     plan = compile_table(tr, schema, opts)
     assert sorted(seen) == ["Neg", "Pos"]
     assert [c.rule_id for c in plan.checks] == ["v.$ref"]
+
+
+# ------------------------------------ remaining option-setter analogs (§2.2)
+
+def test_inline_refs_replaces_definitions(spark):
+    from jsonschema_go_spark.rules import inline_refs
+
+    registry = RuleRegistry()
+    registry.register("Pos", Rule(minimum=5))
+    # pure-ref node replaced wholesale; ref+siblings becomes allOf conjunct
+    pure = Rule(ref="#/definitions/Pos")
+    out = inline_refs(pure, registry.resolver())
+    assert out.ref is None and out.minimum == 5
+
+    mixed = Rule(ref="#/definitions/Pos", maximum=10)
+    out = inline_refs(mixed, registry.resolver())
+    assert out.ref is None and out.maximum == 10
+    assert out.all_of and out.all_of[0].minimum == 5
+
+    # inlined rule validates identically to the ref'd one, WITHOUT a registry
+    df = spark.createDataFrame([(7,), (3,), (12,)], "v int")
+    pred = compile_pred(out, F.col("v"), T.IntegerType())
+    assert [r["p"] for r in df.select(pred.alias("p")).collect()] == [True, False, False]
+
+
+def test_inline_refs_keeps_cycles():
+    from jsonschema_go_spark.rules import inline_refs
+
+    registry = RuleRegistry()
+    registry.register("Node", Rule(ref="#/definitions/Node", min_length=1))
+    out = inline_refs(Rule(ref="#/definitions/Node"), registry.resolver())
+    # one level inlined; the recursive inner ref survives as a ref
+    assert out.min_length == 1
+    assert out.ref == "#/definitions/Node" or (
+        out.all_of and out.all_of[0].ref == "#/definitions/Node"
+    )
+
+
+def test_skip_embedded_maps_slices():
+    tr = infer_table_rule(SCHEMA, skip_embedded_maps_slices=True)
+    # arrays/maps without overlays dropped; scalars kept
+    assert set(tr.columns) == {"s1", "s2"}
+    # an explicit overlay keeps the column (it is no longer "embedded noise")
+    tr2 = infer_table_rule(
+        SCHEMA, overlay={"l1": {"minItems": 1}}, skip_embedded_maps_slices=True
+    )
+    assert set(tr2.columns) == {"s1", "s2", "l1"}
+    assert tr2.columns["l1"].min_items == 1
+
+
+def test_skip_unsupported_drops_unknown_types():
+    schema = T.StructType(
+        [
+            T.StructField("a", T.StringType(), True),
+            T.StructField("weird", T.CalendarIntervalType(), True),
+        ]
+    )
+    tr = infer_table_rule(schema, skip_unsupported=True)
+    assert set(tr.columns) == {"a"}
+    tr2 = infer_table_rule(schema)
+    assert set(tr2.columns) == {"a", "weird"}  # default: kept, unconstrained
+
+
+def test_strip_def_name_prefix(spark):
+    from jsonschema_go_spark.compile import strip_def_name_prefix
+
+    opts = CompileOptions(intercept_def_name=strip_def_name_prefix("turn_", "conv_"))
+    checks = compile_column("turn_idx", Rule(minimum=0), T.IntegerType(), options=opts)
+    assert [ch.rule_id for ch in checks] == ["idx.minimum"]
