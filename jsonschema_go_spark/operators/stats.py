@@ -104,3 +104,50 @@ def length_histogram(df: DataFrame, col: str, log2: bool = True) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def column_quantiles(
+    df: DataFrame,
+    columns,
+    probs=(0.25, 0.5, 0.75, 0.95, 0.99),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-column quantiles → tidy ``(column, prob, value)`` rows.
+
+    ``exact=True`` uses ``F.percentile`` (sort-based, exact linear
+    interpolation — matches DuckDB ``quantile_cont`` bit-for-bit; the oracle
+    path). ``exact=False`` uses ``F.approx_percentile`` (GK sketch) — the
+    100 TB path: one pass, bounded memory, mergeable partials; no global
+    sort. All quantiles for all columns compute in ONE aggregation pass.
+    """
+    plist = [float(p) for p in probs]
+    fn = (
+        (lambda c: F.percentile(c, plist))
+        if exact
+        else (lambda c: F.approx_percentile(c, plist, accuracy))
+    )
+    aggs = [fn(F.col(c).cast("double")).alias(f"_q_{c}") for c in columns]
+    wide = df.agg(*aggs)
+    pairs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(plist).alias("_probs"),
+                F.col(f"_q_{c}").alias("_vals"),
+            )
+            for c in columns
+        ])
+    ).alias("e")
+    return (
+        wide.select(pairs)
+        .select(
+            F.col("e.column").alias("column"),
+            F.explode(F.arrays_zip(F.col("e._probs"), F.col("e._vals"))).alias("pv"),
+        )
+        .select(
+            "column",
+            F.col("pv._probs").alias("prob"),
+            F.round(F.col("pv._vals"), 9).alias("value"),
+        )
+    )

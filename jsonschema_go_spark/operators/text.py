@@ -26,11 +26,32 @@ UPPER_RE = r"[A-Z]"
 DIGIT_RE = r"[0-9]"
 
 #: tiny per-language stopword inventories for the n-gram heuristic
+#: ASCII-only on purpose: `\b` is an ASCII word boundary in both RE2 (DuckDB)
+#: and Java (Spark rlike) default modes, so accented entries would split at
+#: the accent and break cross-engine parity. Overlaps across languages (fr/es
+#: `la`, `un`) are fine — lang_guess is an argmax over total hits.
 STOPWORDS = {
-    "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
-    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
-    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
-    "es": ["el", "la", "los", "que", "es", "un", "una", "para"],
+    "en": [
+        "the", "and", "is", "of", "to", "in", "that", "it", "was", "for",
+        "on", "are", "with", "as", "they", "at", "be", "this", "have",
+        "from", "or", "had", "by", "but", "not", "what", "all", "were",
+    ],
+    "de": [
+        "der", "die", "und", "das", "ist", "nicht", "ein", "zu", "den",
+        "dem", "mit", "sich", "auf", "im", "als", "auch", "es", "werden",
+        "aus", "er", "hat", "dass", "sie", "nach", "wird", "bei", "um",
+        "sind",
+    ],
+    "fr": [
+        "le", "la", "et", "les", "des", "est", "un", "une", "dans", "que",
+        "qui", "pour", "sur", "pas", "plus", "par", "avec", "au", "il",
+        "ne", "se", "ce", "son", "mais", "comme", "ou", "si", "leur",
+    ],
+    "es": [
+        "el", "la", "los", "que", "es", "un", "una", "para", "de", "no",
+        "se", "con", "por", "las", "su", "al", "lo", "como", "mas", "pero",
+        "sus", "le", "ya", "este", "si", "porque", "muy", "sin",
+    ],
 }
 
 

@@ -341,6 +341,28 @@ _COLSTATS_ORACLE = " UNION ALL ".join(
 _register("col_stats_events", q_col_stats_events, _COLSTATS_ORACLE)
 
 
+def q_col_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column quantiles (oracle gate; the engine's 100 TB default
+    is the GK-sketch `approx_percentile` path — `exact=False`)."""
+    df = _read(spark, sf_dir, "events")
+    return stats_ops.column_quantiles(df, ["value", "user_id", "event_id"], exact=True)
+
+
+_QUANTILE_PROBS = "[0.25, 0.5, 0.75, 0.95, 0.99]"
+_register(
+    "col_quantiles_events",
+    q_col_quantiles_events,
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column, CAST(unnest({_QUANTILE_PROBS}) AS DOUBLE) AS prob,
+               round(unnest(quantile_cont(CAST({c} AS DOUBLE), {_QUANTILE_PROBS})), 9) AS value
+        FROM events
+        """
+        for c in ["value", "user_id", "event_id"]
+    ),
+)
+
+
 def q_length_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "documents")
     return stats_ops.length_histogram(df, "text", log2=True)

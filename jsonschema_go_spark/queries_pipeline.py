@@ -40,7 +40,7 @@ _DR = (
 _SR = (
     f"(CASE WHEN {_WC} = 0 THEN 0.0 ELSE "
     + "len(regexp_extract_all(" + NORM.format(c="text")
-    + r", '\b(the|and|is|of|to|in|that|it)\b'))"
+    + r", '\b(" + "|".join(tx.STOPWORDS["en"]) + r")\b'))"
     + f" / {_WC} END)"
 )
 _SCORE = (

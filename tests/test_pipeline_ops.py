@@ -163,3 +163,27 @@ def test_ivf_index_partitions_all_vectors(spark):
     assert idx.count() == emb.count()          # every vector in exactly one cell
     assert idx.select("vec_id").distinct().count() == emb.count()
     assert idx.select("cell").distinct().count() == 8
+
+
+def test_lsh_near_dup_hot_bucket_cap(spark):
+    """max_bucket_freq drops band-buckets larger than the cap (the LSH
+    stop-shingle guard): identical vectors all land in one bucket per band,
+    so a cap below the cluster size suppresses their pairs; without the cap
+    the pairs are found and exact-verified."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)]  # one hot cluster
+    rows += [(100, [-1.0, 5.0, -3.0, 2.0]), (101, [-1.0, 5.0, -3.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = sim.lsh_near_dup_pairs(
+        df, "vec_id", "embedding", dim=4, threshold=0.99, bands=4, rows_per_band=4
+    )
+    # 20-cluster all-pairs (190) + the small pair
+    assert uncapped.count() == 190 + 1
+
+    capped = sim.lsh_near_dup_pairs(
+        df, "vec_id", "embedding", dim=4, threshold=0.99,
+        bands=4, rows_per_band=4, max_bucket_freq=5,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got          # small bucket survives the cap
+    assert len(got) == 1              # hot-cluster pairs suppressed
