@@ -217,11 +217,57 @@ def lsh_near_dup_pairs(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 5,
+) -> list:
+    """Lloyd k-means centroids (cosine assignment, mean update) → a k×dim
+    Python list for :func:`ivf_index`'s ``centroids`` parameter.
+
+    Deterministic init: the k lowest-id vectors (same as the IVF default).
+    Each iteration is ONE distributed pass (assignment via a broadcast
+    centroid literal, update via posexplode + per-(cell, dim) mean); only the
+    k×dim centroid matrix ever reaches the driver. Empty cells keep their
+    previous centroid. float mean is aggregation-order sensitive at the ulp
+    level — consumers must not rely on bit-exact centroids across cluster
+    layouts (cell ASSIGNMENT ties are broken by cell index, which is stable).
+    """
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    cents = [list(r["v"]) for r in init]
+    vecs = df.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    )
+    for _ in range(iters):
+        cl = F.lit(cents)
+        sims = F.transform(cl, lambda p: dot(F.col("_v"), p) / (norm(F.col("_v")) * norm(p)))
+        cell = (F.array_position(sims, F.array_max(sims)) - 1).alias("_cell")
+        means = (
+            vecs.select(cell, F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cells keep previous centroid
+        for r in means:
+            new[r["_cell"]][r["_pos"]] = r["_m"]
+        cents = new
+    return cents
+
+
 def ivf_index(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     n_cells: int = 16,
+    centroids: Optional[list] = None,
 ) -> DataFrame:
     """IVF (inverted-file) index: assign every vector to its nearest centroid
     cell → ``(cell, id, vec)``.
@@ -232,14 +278,8 @@ def ivf_index(
     wide shuffle; the index is written bucketed by ``cell`` at scale so probes
     read only matching buckets.
     """
-    cents = (
-        df.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
-            F.col(vec_col).alias("_cent"),
-            norm(F.col(vec_col)).alias("_centn"),
-        )
+    cents = _cents_df(df, id_col, vec_col, n_cells, centroids).withColumn(
+        "_centn", norm(F.col("_cent"))
     )
     # vector norms once per row; centroid norms once per centroid — each of
     # the n_cells assignment scores then costs a single dot fold
@@ -259,6 +299,31 @@ def ivf_index(
     )
 
 
+def _cents_df(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    centroids: Optional[list],
+) -> DataFrame:
+    """Centroid table ``(cell, _cent)``: explicit centroids (e.g. from
+    :func:`kmeans_centroids`) when given, else the deterministic
+    k-lowest-id-vector default."""
+    if centroids is not None:
+        return df.sparkSession.createDataFrame(
+            [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, _cent array<double>",
+        )
+    return (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+            F.col(vec_col).alias("_cent"),
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -267,6 +332,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: Optional[list] = None,
 ) -> DataFrame:
     """IVF-probed ANN top-k: search only the ``n_probe`` cells whose
     centroids are nearest each query → ``(query_id, neighbor_id, rank, cos)``.
@@ -276,17 +342,10 @@ def ivf_topk(
     ``n_probe/n_cells`` fraction of the scan — the 100 TB path where cells
     are storage buckets and unprobed buckets are never read.
     """
-    index = ivf_index(df, id_col, vec_col, n_cells).withColumn(
+    index = ivf_index(df, id_col, vec_col, n_cells, centroids).withColumn(
         "_in", norm(F.col(vec_col))
     )
-    cents = (
-        df.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
-            F.col(vec_col).alias("_cent"),
-        )
-    )
+    cents = _cents_df(df, id_col, vec_col, n_cells, centroids)
     q = df.where(F.col(id_col).isin(*list(query_ids))).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),

