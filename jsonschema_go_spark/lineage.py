@@ -187,6 +187,8 @@ class CheckpointedRun:
         stage: str = "validate",
         fail_on_bucket: Optional[int] = None,  # test hook: simulate a crash
         fail_before_record: Optional[int] = None,  # test hook: crash AFTER appends
+        quality_checks: bool = False,
+        order_col: str = "turn_idx",
     ) -> dict:
         log = LineageLog(self.io)
         done = set(log.completed_buckets(self.run_id, stage)) if resume else set()
@@ -215,6 +217,32 @@ class CheckpointedRun:
             verd = plan.verdicts(part, self.key_col).withColumn("bucket", F.lit(b))
             verd.cache()
             self.io.append(verd, f"verdicts_{self.run_id}", partition_by=["bucket"])
+            if quality_checks:
+                # (key, order) uniqueness + per-key chain contiguity in the
+                # SAME bucket pass — both group on (or by a superset of) the
+                # storage-bucket key, so neither plans an Exchange either
+                from .operators import uniqueness as _uq
+
+                self.io.delete_partition(f"quality_{self.run_id}", "bucket", b)
+                uniq = _uq.uniqueness_verdict(part, [self.key_col, order_col])
+                contig = _uq.contiguity(part, self.key_col, order_col, start=0).agg(
+                    F.count(F.lit(1)).alias("n_groups"),
+                    F.sum((~F.col("contiguous")).cast("long")).alias("broken_groups"),
+                )
+                qual = (
+                    uniq.crossJoin(contig)
+                    .select(
+                        F.col("total_rows"),
+                        F.col("distinct_keys"),
+                        F.col("duplicate_rows"),
+                        F.col("passed").alias("unique_passed"),
+                        F.col("n_groups"),
+                        F.col("broken_groups"),
+                        (F.col("broken_groups") == 0).alias("contiguous_passed"),
+                    )
+                    .withColumn("bucket", F.lit(b))
+                )
+                self.io.append(qual, f"quality_{self.run_id}", partition_by=["bucket"])
             if fail_before_record is not None and b == fail_before_record:
                 verd.unpersist()
                 raise RuntimeError(f"simulated crash before record at bucket {b}")

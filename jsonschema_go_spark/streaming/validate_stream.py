@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 from ..plans.plan import ValidationPlan, VIOLATION_COLS
 
 
+def _sumsq(n: int) -> int:
+    """Sum of squares 0..n (0 for negative n)."""
+    if n < 0:
+        return 0
+    return n * (n + 1) * (2 * n + 1) // 6
+
+
 def violation_stream(
     plan: ValidationPlan, stream: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
@@ -75,6 +82,7 @@ def stateful_contiguity_stream(
     stream: DataFrame,
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
+    start: int = 0,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (the mandate's
     named surface for operators Spark lacks): incremental per-conversation
@@ -82,11 +90,11 @@ def stateful_contiguity_stream(
 
     State per conversation is O(1) — ``(rows, min_idx, max_idx, idx_sum)`` —
     and the contiguity verdict is re-derived on every update:
-    ``min==1 ∧ max==rows ∧ sum==rows(rows+1)/2`` (the arithmetic-series
-    invariant; a near-exact summary that needs no per-turn set. The batch
-    operator ``uniqueness.contiguity`` with its distinct-count is the exact
-    form — this is the bounded-state streaming rendition). Emits one updated
-    row per conversation per micro-batch touching it → update-mode sink.
+    ``min==start ∧ max==start+rows-1 ∧ sum==arithmetic series`` (a
+    near-exact summary that needs no per-turn set. The batch operator
+    ``uniqueness.contiguity`` with its distinct-count is the exact form —
+    this is the bounded-state streaming rendition). Emits one updated row
+    per conversation per micro-batch touching it → update-mode sink.
 
     Arrow-batched pandas; no per-row Python.
     """
@@ -95,15 +103,17 @@ def stateful_contiguity_stream(
 
     out_schema = (
         f"{conv_col} string, rows long, min_idx int, max_idx int, "
-        "idx_sum long, contiguous boolean"
+        "idx_sum long, idx_sumsq long, contiguous boolean"
     )
-    state_schema = "rows long, min_idx int, max_idx int, idx_sum long"
+    state_schema = (
+        "rows long, min_idx int, max_idx int, idx_sum long, idx_sumsq long"
+    )
 
     def update(key, pdfs, state: "GroupState"):
         import pandas as pd
 
-        rows, mn, mx, sm = (
-            state.get if state.exists else (0, None, None, 0)
+        rows, mn, mx, sm, sq = (
+            state.get if state.exists else (0, None, None, 0, 0)
         )
         for pdf in pdfs:
             idx = pdf[idx_col].dropna()
@@ -114,12 +124,17 @@ def stateful_contiguity_stream(
             mn = bmn if mn is None else min(mn, bmn)
             mx = bmx if mx is None else max(mx, bmx)
             sm += int(idx.sum())
-        state.update((rows, mn, mx, sm))
+            sq += int((idx.astype("int64") ** 2).sum())
+        state.update((rows, mn, mx, sm, sq))
+        # count+min+max+sum+sum-of-squares must all match the arithmetic
+        # series start..start+rows-1; the added quadratic moment rules out
+        # duplicate+skip combinations that fool the linear sum alone
+        # (e.g. {0,2,2,2,4} has the same count/min/max/sum as {0,1,2,3,4})
+        end = start + rows - 1
+        want_sm = rows * (start + end) // 2
+        want_sq = _sumsq(end) - _sumsq(start - 1)
         contiguous = (
-            rows > 0
-            and mn == 1
-            and mx == rows
-            and sm == rows * (rows + 1) // 2
+            rows > 0 and mn == start and mx == end and sm == want_sm and sq == want_sq
         )
         yield pd.DataFrame(
             [
@@ -129,6 +144,7 @@ def stateful_contiguity_stream(
                     "min_idx": mn,
                     "max_idx": mx,
                     "idx_sum": sm,
+                    "idx_sumsq": sq,
                     "contiguous": bool(contiguous),
                 }
             ]

@@ -153,3 +153,37 @@ def test_resume_survives_catalog_loss(env):
     direct = plan.violations(df, ["conv_id", "turn_idx"], ordered=False)
     assert resumed.count() == direct.count()
     assert resumed.exceptAll(direct).count() == 0
+
+
+def test_quality_checks_in_bucket_pass(env):
+    """quality_checks=True emits per-bucket uniqueness + contiguity metrics
+    in the same pass, matching the global operators when re-aggregated."""
+    from jsonschema_go_spark.operators import uniqueness as uq
+
+    spark, df, plan, io = env
+    run = CheckpointedRun(io, "r7", num_buckets=4)
+    run.run(df, plan, quality_checks=True)
+
+    qual = io.read("quality_r7")
+    assert qual.count() == 4
+    agg = qual.agg(
+        F.sum("total_rows").alias("rows"),
+        F.sum("duplicate_rows").alias("dups"),
+        F.sum("broken_groups").alias("broken"),
+        F.sum("n_groups").alias("groups"),
+    ).first()
+    want_u = uq.uniqueness_verdict(df, ["conv_id", "turn_idx"]).first()
+    assert agg["rows"] == want_u["total_rows"]
+    assert agg["dups"] == want_u["duplicate_rows"]
+    per = uq.contiguity(df, "conv_id", "turn_idx", start=0)
+    assert agg["groups"] == per.count()
+    assert agg["broken"] == per.where(~F.col("contiguous")).count()
+
+    # exchange-free on the DATA-sized stage: the per-key aggregate groups by
+    # a superset of the storage-bucket key, so it needs no shuffle (the final
+    # single-row rollup exchanges only the tiny per-key aggregates)
+    staged = spark.table(run._staged_table)
+    part = staged.where(F.col("_bucket") == 0).drop("_bucket")
+    per_key = part.groupBy("conv_id", "turn_idx").count()
+    plan_str = per_key._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str, plan_str

@@ -96,7 +96,7 @@ def test_stateful_contiguity_stream(stream_env):
 
     spark, batch, stream, plan, root = stream_env
     _run(
-        stateful_contiguity_stream(stream, "conv_id", "turn_idx"),
+        stateful_contiguity_stream(stream, "conv_id", "turn_idx", start=0),
         "update", root, "stately",
     )
     # update mode re-emits a conv's row each micro-batch; keep the last state
@@ -109,7 +109,7 @@ def test_stateful_contiguity_stream(stream_env):
             F.max_by("contiguous", "rows").alias("contiguous"),
         )
     )
-    want = uq.contiguity(batch, "conv_id", "turn_idx", start=1)
+    want = uq.contiguity(batch, "conv_id", "turn_idx", start=0)
     assert got.count() == want.count()
     j = got.join(want.withColumnRenamed("contiguous", "want_c"), "conv_id")
     assert j.where(F.col("contiguous") != F.col("want_c")).count() == 0
