@@ -460,6 +460,79 @@ _register(
 )
 
 
+def q_drift_grouped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-Arrow-UDF many-column drift (ONE melt pass + ONE hash-agg for
+    all columns; per-column statistic in applyInPandas) — gated against
+    per-column SQL mirrors of the identical chi-square / binned-KS formulas."""
+    ev = _read(spark, sf_dir, "events")
+    a = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    out = drift_ops.drift_report_grouped(
+        a, b, categorical=["event_type"], numeric=["value"], ks_buckets=1024
+    )
+    return out.select(
+        "column", "test", F.round("statistic", 6).alias("statistic"), "drifted"
+    ).orderBy("column")
+
+
+_KS_BINNED_SQL = """
+    WITH vals AS (
+      SELECT event_id % 2 AS grp, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL
+    ),
+    bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
+    binned AS (
+      SELECT grp,
+             CAST(least(greatest(floor((v - lo) / (CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END) * 1024), 0), 1023) AS INT) AS bin,
+             COUNT(*)::DOUBLE AS c
+      FROM vals CROSS JOIN bounds GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT bin,
+             SUM(CASE WHEN grp = 0 THEN c ELSE 0 END) AS ca,
+             SUM(CASE WHEN grp = 1 THEN c ELSE 0 END) AS cb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM m),
+    e AS (
+      SELECT SUM(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM m
+    )
+    SELECT round(MAX(abs(cum_a / tot.na - cum_b / tot.nb)), 6) AS statistic
+    FROM e CROSS JOIN tot
+"""
+
+_CHI2_GROUPED_SQL = """
+    WITH obs AS (
+      SELECT event_id % 2 AS grp, event_type AS val, COUNT(*)::DOUBLE AS o
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rt AS (SELECT grp, SUM(o) AS rt FROM obs GROUP BY 1),
+    ct AS (SELECT val, SUM(o) AS ct FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT o.o, rt.rt * ct.ct / tot.n AS e
+      FROM obs o JOIN rt USING (grp) JOIN ct USING (val) CROSS JOIN tot
+    )
+    SELECT round(SUM(pow(o - e, 2) / e), 6) AS statistic FROM cells
+"""
+
+_register(
+    "drift_grouped_events",
+    q_drift_grouped_events,
+    f"""
+    SELECT 'event_type' AS column, 'chi_square' AS test, statistic,
+           statistic > 30.0 AS drifted
+    FROM ({_CHI2_GROUPED_SQL})
+    UNION ALL
+    SELECT 'value' AS column, 'ks' AS test, statistic,
+           statistic > 0.1 AS drifted
+    FROM ({_KS_BINNED_SQL})
+    """,
+)
+
+
 def get_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import queries_pipeline  # noqa: F401  (registers pipeline queries)
 
