@@ -67,6 +67,11 @@ def main(argv=None) -> int:
     )
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--quality-checks", action="store_true",
+        help="also emit per-bucket (conv_id, turn_idx) uniqueness and "
+        "turn-chain contiguity metrics (same pass, exchange-free)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -103,7 +108,7 @@ def main(argv=None) -> int:
     buckets = args.buckets or _auto_buckets(spark, args.input)
     run = CheckpointedRun(io_out, args.run_id, num_buckets=buckets)
     t0 = time.perf_counter()
-    result = run.run(df, plan, resume=args.resume)
+    result = run.run(df, plan, resume=args.resume, quality_checks=args.quality_checks)
     wall = time.perf_counter() - t0
     # row total comes free from the per-bucket lineage metrics — no data scan
     from pyspark.sql import functions as F
