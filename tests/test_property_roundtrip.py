@@ -131,3 +131,25 @@ def test_omitempty_zero_normalizes():
     r = Rule.from_dict({"minLength": 0, "minItems": 0, "minProperties": 0})
     assert r.to_dict() == {}
     assert r.is_trivial() is True
+
+
+@given(_rule_dicts(1), _rule_dicts(1))
+@settings(max_examples=100, deadline=None)
+def test_inline_refs_eliminates_resolvable_refs(host, definition):
+    """For arbitrary host rules + definitions: inlining leaves no resolvable
+    $ref behind, and the result still (de)serializes stably."""
+    from jsonschema_go_spark.compile import RuleRegistry
+    from jsonschema_go_spark.rules import inline_refs
+
+    registry = RuleRegistry()
+    registry.register("D", Rule.from_dict(definition))
+    host = dict(host)
+    host["$ref"] = "#/definitions/D"
+    rule = Rule.from_dict(host)
+
+    out = inline_refs(rule, registry.resolver())
+    txt = json.dumps(out if isinstance(out, bool) else out.to_dict())
+    assert '"#/definitions/D"' not in txt
+
+    if not isinstance(out, bool):
+        assert Rule.from_dict(out.to_dict()).to_dict() == out.to_dict()
