@@ -460,6 +460,83 @@ _register(
 )
 
 
+# --- full format-library gate over derived string columns -------------------
+#
+# kw_format_events gates date-time/uuid/base64; this derives one column per
+# REMAINING format (email/hostname/ipv4/ipv6/uri/uri-reference/json-pointer/
+# time/date) deterministically on both engines and runs the rule-compiled
+# summary against the generated SQL mirror — the whole FORMAT_PREDICATES
+# library is then CORRECTNESS-gated.
+FORMAT_FULL_RULE = TableRule(
+    name="derived",
+    columns={
+        "f_email": Rule(type="string", format="email"),
+        "f_hostname": Rule(type="string", format="hostname"),
+        "f_ipv4": Rule(type="string", format="ipv4"),
+        "f_ipv6": Rule(type="string", format="ipv6"),
+        "f_uri": Rule(type="string", format="uri"),
+        "f_uriref": Rule(type="string", format="uri-reference"),
+        "f_jptr": Rule(type="string", format="json-pointer"),
+        "f_time": Rule(type="string", format="time"),
+        "f_date": Rule(type="string", format="date"),
+    },
+)
+_FMT_ELEM_TYPES = {c: "string" for c in FORMAT_FULL_RULE.columns}
+
+
+def q_kw_format_full_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    i = F.col("event_id")
+
+    def s(x):
+        return x.cast("string")
+
+    df = _read(spark, sf_dir, "events").select(
+        F.when(i % 3 == 0, F.concat(F.lit("u"), s(i % 50), F.lit("@ex.com")))
+        .otherwise(F.concat(F.lit("u"), s(i % 50), F.lit("at.ex"))).alias("f_email"),
+        F.when(i % 5 == 0, F.lit("-bad.org"))
+        .otherwise(F.concat(F.lit("h"), s(i % 9), F.lit(".org"))).alias("f_hostname"),
+        F.concat(s(i % 300), F.lit(".0.0.1")).alias("f_ipv4"),
+        F.when(i % 6 == 0, F.lit("2001:db8::1")).otherwise(F.lit("nocolons")).alias("f_ipv6"),
+        F.when(i % 2 == 0, F.concat(F.lit("https://x/"), s(i % 7)))
+        .otherwise(F.lit("not a uri")).alias("f_uri"),
+        F.when(i % 8 == 0, F.lit("a b")).otherwise(F.concat(F.lit("/p/"), s(i % 5))).alias("f_uriref"),
+        F.when(i % 4 == 0, F.concat(F.lit("/a/~0b/"), s(i % 3))).otherwise(F.lit("a/b")).alias("f_jptr"),
+        F.when(i % 7 == 0, F.lit("bad-time"))
+        .otherwise(F.concat(F.lpad(s(i % 24), 2, "0"), F.lit(":30:00"))).alias("f_time"),
+        F.when(i % 9 == 0, F.lit("2024-13-01"))
+        .otherwise(F.concat(F.lit("2024-01-"), F.lpad(s(i % 28 + 1), 2, "0"))).alias("f_date"),
+    )
+    return compile_table(FORMAT_FULL_RULE, df.schema).summary(df)
+
+
+_FMT_DERIVED_SQL = """
+    SELECT
+      CASE WHEN event_id % 3 = 0 THEN 'u' || CAST(event_id % 50 AS VARCHAR) || '@ex.com'
+           ELSE 'u' || CAST(event_id % 50 AS VARCHAR) || 'at.ex' END AS f_email,
+      CASE WHEN event_id % 5 = 0 THEN '-bad.org'
+           ELSE 'h' || CAST(event_id % 9 AS VARCHAR) || '.org' END AS f_hostname,
+      CAST(event_id % 300 AS VARCHAR) || '.0.0.1' AS f_ipv4,
+      CASE WHEN event_id % 6 = 0 THEN '2001:db8::1' ELSE 'nocolons' END AS f_ipv6,
+      CASE WHEN event_id % 2 = 0 THEN 'https://x/' || CAST(event_id % 7 AS VARCHAR)
+           ELSE 'not a uri' END AS f_uri,
+      CASE WHEN event_id % 8 = 0 THEN 'a b'
+           ELSE '/p/' || CAST(event_id % 5 AS VARCHAR) END AS f_uriref,
+      CASE WHEN event_id % 4 = 0 THEN '/a/~0b/' || CAST(event_id % 3 AS VARCHAR)
+           ELSE 'a/b' END AS f_jptr,
+      CASE WHEN event_id % 7 = 0 THEN 'bad-time'
+           ELSE lpad(CAST(event_id % 24 AS VARCHAR), 2, '0') || ':30:00' END AS f_time,
+      CASE WHEN event_id % 9 = 0 THEN '2024-13-01'
+           ELSE '2024-01-' || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0') END AS f_date
+    FROM events
+"""
+_register(
+    "kw_format_full_events",
+    q_kw_format_full_events,
+    f"WITH derived AS ({_FMT_DERIVED_SQL})\n"
+    + summary_sql(FORMAT_FULL_RULE, "derived", _FMT_ELEM_TYPES),
+)
+
+
 def q_drift_grouped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-Arrow-UDF many-column drift (ONE melt pass + ONE hash-agg for
     all columns; per-column statistic in applyInPandas) — gated against
