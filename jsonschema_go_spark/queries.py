@@ -460,6 +460,60 @@ _register(
 )
 
 
+# --- object keywords over a STRUCT column (static-schema path) --------------
+#
+# compile.py's StructType branch (properties over known fields + required as
+# field non-nullness) is the static sibling of the MapType branch; gate it
+# via a derived struct column mirrored with sql_pred-generated field checks.
+STRUCT_RULE = Rule(
+    type="object",
+    properties={
+        "kind": Rule(enum=["click", "view", "purchase", "signup"]),
+        "amount": Rule(minimum=0.0, maximum=300.0),
+    },
+    required=["kind", "amount"],
+)
+
+
+def q_kw_struct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    i = F.col("event_id")
+    df = _read(spark, sf_dir, "events").select(
+        F.struct(
+            # every 11th kind is NULL so struct `required` discriminates
+            F.when(i % 11 != 0, F.col("event_type")).alias("kind"),
+            F.col("value").alias("amount"),
+        ).alias("st")
+    )
+    tr = TableRule(name="derived", columns={"st": STRUCT_RULE})
+    return compile_table(tr, df.schema).summary(df)
+
+
+def _struct_oracle() -> str:
+    from .oracle import sql_pred
+
+    # same per-field subschema SQL the compiler's semantics demand, assembled
+    # in compile.py's orders (properties sorted by name; required as listed)
+    p_amount = sql_pred(Rule(minimum=0.0, maximum=300.0), "st.amount", "double")
+    p_kind = sql_pred(Rule(enum=["click", "view", "purchase", "signup"]), "st.kind")
+    props = f"(coalesce({p_amount}, TRUE) AND coalesce({p_kind}, TRUE))"
+    req = "((st.kind IS NOT NULL) AND (st.amount IS NOT NULL))"
+    rows = [("st.properties", props), ("st.required", req)]
+    selects = " UNION ALL ".join(
+        f"SELECT '{rid}' AS rule_id, "
+        f"SUM(CASE WHEN NOT (st IS NULL OR coalesce({p}, TRUE)) THEN 1 ELSE 0 END)::BIGINT AS fail_count, "
+        f"COUNT(*)::BIGINT AS row_count FROM derived"
+        for rid, p in rows
+    )
+    return (
+        "WITH derived AS (SELECT {'kind': CASE WHEN event_id % 11 != 0 THEN event_type END, "
+        "'amount': value} AS st FROM events)\n"
+        + selects
+    )
+
+
+_register("kw_struct_events", q_kw_struct_events, _struct_oracle())
+
+
 # --- full format-library gate over derived string columns -------------------
 #
 # kw_format_events gates date-time/uuid/base64; this derives one column per
