@@ -460,6 +460,48 @@ _register(
 )
 
 
+# --- positional tuple items over a derived variable-length array ------------
+TUPLE_RULE = TableRule(
+    name="derived",
+    columns={
+        "arr": Rule(
+            type="array",
+            min_items=1,
+            max_items=3,
+            items=[Rule(pattern="^v"), Rule(min_length=2)],
+            additional_items=Rule(max_length=1),
+        )
+    },
+)
+
+
+def q_kw_tuple_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional `items` + `additionalItems` (entities.go:689-748) gated on a
+    derived variable-length array: element 0 must match ^v, element 1 needs
+    length ≥2, the tail is capped at 1 char, and lengths 1..4 exercise
+    min/maxItems."""
+    i = F.col("event_id")
+    arr = (
+        F.when(i % 4 == 0, F.array(F.lit("v1")))
+        .when(i % 4 == 1, F.array(F.lit("v2"), F.lit("ab")))
+        .when(i % 4 == 2, F.array(F.lit("x2"), F.lit("a"), F.lit("b")))
+        .otherwise(F.array(F.lit("v3"), F.lit("abc"), F.lit("c"), F.lit("dd")))
+    )
+    df = _read(spark, sf_dir, "events").select(arr.alias("arr"))
+    return compile_table(TUPLE_RULE, df.schema).summary(df)
+
+
+_register(
+    "kw_tuple_events",
+    q_kw_tuple_events,
+    "WITH derived AS (SELECT CASE WHEN event_id % 4 = 0 THEN ['v1'] "
+    "WHEN event_id % 4 = 1 THEN ['v2', 'ab'] "
+    "WHEN event_id % 4 = 2 THEN ['x2', 'a', 'b'] "
+    "ELSE ['v3', 'abc', 'c', 'dd'] END AS arr FROM events)\n"
+    + summary_sql(TUPLE_RULE, "derived", {"arr": "array"}),
+)
+
+
 # --- object keywords over a STRUCT column (static-schema path) --------------
 #
 # compile.py's StructType branch (properties over known fields + required as
