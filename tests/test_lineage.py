@@ -187,3 +187,13 @@ def test_quality_checks_in_bucket_pass(env):
     per_key = part.groupBy("conv_id", "turn_idx").count()
     plan_str = per_key._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_str, plan_str
+
+
+def test_auto_buckets_from_input_bytes(spark):
+    """runner._auto_buckets sizes from file bytes without scanning data."""
+    from jsonschema_go_spark.runner import _auto_buckets
+
+    n = _auto_buckets(spark, "/root/testdata/sf0.001")
+    assert 4 <= n <= 4096  # small input → floor of 4
+    assert _auto_buckets(spark, None) == 16
+    assert _auto_buckets(spark, "/no/such/path") == 16  # graceful fallback
