@@ -436,14 +436,15 @@ def _keyword_preds(
         else:
             from .functions.formats import FORMAT_PREDICATES
 
-            if rule.format not in FORMAT_PREDICATES:
-                if opts.strict_formats:
-                    raise CompileError(
-                        f"unknown format {rule.format!r} (strict_formats)"
-                    )
-                # annotation-only: no check row (oracle.summary_sql parity)
-            else:
-                yield "format", format_predicate(rule.format, str_c)
+            # single strictness source: format_predicate raises KeyError for
+            # unknown+strict; translated to the compiler's error type here
+            try:
+                pred = format_predicate(rule.format, str_c, strict=opts.strict_formats)
+            except KeyError as e:
+                raise CompileError(str(e)) from e
+            if rule.format in FORMAT_PREDICATES:
+                yield "format", pred
+            # else annotation-only: no check row (oracle.summary_sql parity)
 
     # ---- array (entities.go:36-41)
     if isinstance(dtype, T.ArrayType):
@@ -634,15 +635,17 @@ def compile_column(
     out: List[CompiledCheck] = []
     c = F.col(name)
 
-    names = def_names if def_names is not None else DefNameRegistry()
+    names = def_names if def_names is not None else _def_name_registry(opts)
 
     def rid(keyword: str) -> str:
         # defName generation with InterceptDefName rewrite hook
-        # (``/root/reference/context.go:174-188``, ``reflect.go:780-837``)
+        # (``/root/reference/context.go:174-188``, ``reflect.go:780-837``).
+        # Under camel_def_names the hook runs INSIDE the registry (via its
+        # rewrite parameter) so conflict suffixing sees post-rewrite names —
+        # the reference's order: DefName hook, THEN TypeN de-duplication.
         if opts.camel_def_names:
-            default = names.name_for(f"{name}.{keyword}", f"{name} {keyword}")
-        else:
-            default = f"{name}.{keyword}"
+            return names.name_for(f"{name}.{keyword}", f"{name} {keyword}")
+        default = f"{name}.{keyword}"
         if opts.intercept_def_name is not None:
             return opts.intercept_def_name(name, keyword, default)
         return default
@@ -686,6 +689,19 @@ def compile_column(
     return out
 
 
+def _def_name_registry(opts: CompileOptions) -> DefNameRegistry:
+    """DefNameRegistry honoring ``opts.intercept_def_name`` BEFORE conflict
+    suffixing (owner keys are ``column.keyword``)."""
+    if opts.intercept_def_name is None:
+        return DefNameRegistry()
+
+    def rewrite(owner: str, default: str) -> str:
+        column, keyword = owner.rsplit(".", 1)
+        return opts.intercept_def_name(column, keyword, default)
+
+    return DefNameRegistry(rewrite=rewrite)
+
+
 def compile_table(
     table_rule: TableRule,
     schema: T.StructType,
@@ -705,7 +721,7 @@ def compile_table(
         if isinstance(r, Rule):
             registry.load_definitions(r)
 
-    def_names = DefNameRegistry() if opts.camel_def_names else None
+    def_names = _def_name_registry(opts) if opts.camel_def_names else None
     checks: List[CompiledCheck] = []
     for col, r in table_rule.columns.items():
         if col not in schema.names:

@@ -135,12 +135,10 @@ _SUPPORTED_TYPES = (
 )
 
 
-def _json_type_for(dtype: T.DataType) -> Optional[str]:
-    """JSON type a Spark type maps to, or None when unsupported (the
-    kindSwitch `default` branch — ``reflect.go:966-971``)."""
-    if isinstance(dtype, _SUPPORTED_TYPES):
-        return "known"
-    return None
+def _is_supported(dtype: T.DataType) -> bool:
+    """Whether kindSwitch maps this Spark type to a JSON type (False = the
+    `default` branch — ``reflect.go:966-971``)."""
+    return isinstance(dtype, _SUPPORTED_TYPES)
 
 
 _OVERLAY_KEYS = {
@@ -223,7 +221,7 @@ def infer_table_rule(
             and not has_overlay
         ):
             continue
-        if skip_unsupported and _json_type_for(f.dataType) is None:
+        if skip_unsupported and not _is_supported(f.dataType):
             continue
         required = bool(cfg.pop("required", not f.nullable))
         nullable = bool(cfg.pop("nullable", f.nullable and not required))
@@ -259,6 +257,9 @@ def infer_table_rule(
             replacement = intercept_prop(PropParams(f.name, f.dataType, rule, tr))
             if replacement is not None:
                 rule = replacement
+        # NullAdded must reflect the pre-envelope state: the envelope moves
+        # the null alternative into anyOf, but null WAS added for the column
+        null_added = rule.has_type("null")
         if envelop_nullability and rule.ref is not None and nullable:
             # EnvelopNullability (reflect.go:1375-1388): inner keeps the full
             # schema (the reference copies *propertySchema), outer drops the
@@ -270,9 +271,10 @@ def infer_table_rule(
             rule.ref = None
             rule.remove_type("null")
             rule.any_of = [Rule(type="null"), inner]
+            null_added = True
         if intercept_nullability is not None:
             intercept_nullability(
-                NullabilityParams(f.name, f.dataType, rule, rule.has_type("null"))
+                NullabilityParams(f.name, f.dataType, rule, null_added)
             )
         tr.columns[f.name] = rule
     if overlay:

@@ -111,9 +111,17 @@ class CheckpointedRun:
 
     @property
     def _staged_table(self) -> str:
+        import hashlib
         import re
 
-        return "staged_" + re.sub(r"[^A-Za-z0-9_]", "_", self.run_id)
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", self.run_id)
+        if safe == self.run_id:
+            return f"staged_{safe}"
+        # sanitization is lossy ('r.1' and 'r_1' both map to 'r_1'); an
+        # md5 suffix keeps distinct run_ids from sharing a staged table —
+        # otherwise a resume could silently validate another run's input
+        tag = hashlib.md5(self.run_id.encode()).hexdigest()[:8]
+        return f"staged_{safe}_{tag}"
 
     def _stage_input(self, df: DataFrame, resume: bool) -> DataFrame:
         """Stage the input hash-partitioned by bucket — ONE full pass.
@@ -134,10 +142,13 @@ class CheckpointedRun:
         """
         spark = self.io.spark
         table = self._staged_table
-        path = self.io._path(f"staged_{self.run_id}")
+        # path derives from the SANITIZED name: run_ids 'r.1' and 'r_1' would
+        # otherwise share a catalog table while writing different paths, and
+        # a resume could silently validate the other run's staged data
+        path = self.io._path(table)
         if resume and spark.catalog.tableExists(table):
             return spark.table(table)
-        if resume and self.io.exists(f"staged_{self.run_id}"):
+        if resume and self.io.exists(table):
             # files survive a crash but the session catalog does not (fresh
             # driver) — re-register the external bucketed table over them
             self._register_staged(table, path)

@@ -104,6 +104,7 @@ def drift_report_grouped(
         raise ValueError("no columns to check")
 
     bounds = {}
+    degenerate = []  # all-NULL on both sides: no distribution to compare
     if numeric:
         aggs = []
         for c in numeric:
@@ -111,9 +112,22 @@ def drift_report_grouped(
             aggs += [F.min(v).alias(f"mn_{c}"), F.max(v).alias(f"mx_{c}")]
         ba, bb = df_a.agg(*aggs).first(), df_b.agg(*aggs).first()
         for c in numeric:
-            lo = min(ba[f"mn_{c}"], bb[f"mn_{c}"])
-            hi = max(ba[f"mx_{c}"], bb[f"mx_{c}"])
+            # None-safe bounds: one side may have zero non-null values
+            mns = [x for x in (ba[f"mn_{c}"], bb[f"mn_{c}"]) if x is not None]
+            mxs = [x for x in (ba[f"mx_{c}"], bb[f"mx_{c}"]) if x is not None]
+            if not mns:
+                degenerate.append(c)
+                continue
+            lo, hi = min(mns), max(mxs)
             bounds[c] = (lo, (hi - lo) or 1.0)
+        numeric = [c for c in numeric if c not in degenerate]
+    if not categorical and not numeric:
+        if degenerate:
+            return df_a.sparkSession.createDataFrame(
+                [(c, "ks", None, None) for c in degenerate],
+                "column string, test string, statistic double, drifted boolean",
+            )
+        raise ValueError("no columns to check")
 
     def melt(df: DataFrame, snap: str) -> DataFrame:
         structs = []
@@ -183,15 +197,27 @@ def drift_report_grouped(
                     piv[s] = 0
             ca, cb = piv["a"].to_numpy("float64"), piv["b"].to_numpy("float64")
             na, nb = ca.sum(), cb.sum()
+            if na == 0 or nb == 0:
+                # one snapshot has no values: no ECDF to compare
+                return pd.DataFrame(
+                    [{"column": col, "test": test, "statistic": None, "drifted": None}]
+                )
             statistic = float(abs(ca.cumsum() / na - cb.cumsum() / nb).max())
             drifted = statistic > ks_threshold
         return pd.DataFrame(
             [{"column": col, "test": test, "statistic": statistic, "drifted": bool(drifted)}]
         )
 
-    return counts.groupBy("column").applyInPandas(
-        stat, "column string, test string, statistic double, drifted boolean"
-    )
+    out_schema = "column string, test string, statistic double, drifted boolean"
+    out = counts.groupBy("column").applyInPandas(stat, out_schema)
+    if degenerate:
+        # all-NULL-everywhere columns are reported, not silently dropped
+        spark = df_a.sparkSession
+        deg = spark.createDataFrame(
+            [(c, "ks", None, None) for c in degenerate], out_schema
+        )
+        out = out.unionByName(deg)
+    return out
 
 
 def chi_square(

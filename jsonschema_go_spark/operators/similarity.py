@@ -243,11 +243,18 @@ def kmeans_centroids(
     )
     cents = [list(r["v"]) for r in init]
     vecs = df.select(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
-    )
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).select("_v", norm(F.col("_v")).alias("_vn"))  # row norm hoisted once
     for _ in range(iters):
         cl = F.lit(cents)
-        sims = F.transform(cl, lambda p: dot(F.col("_v"), p) / (norm(F.col("_v")) * norm(p)))
+        # zero-norm guard: a zero vector (or zero centroid) gets similarity
+        # -1 instead of a divide-by-zero (ANSI mode aborts the job on x/0)
+        sims = F.transform(
+            cl,
+            lambda p: F.when(
+                (F.col("_vn") * norm(p)) == 0, F.lit(-1.0)
+            ).otherwise(dot(F.col("_v"), p) / (F.col("_vn") * norm(p))),
+        )
         cell = (F.array_position(sims, F.array_max(sims)) - 1).alias("_cell")
         means = (
             vecs.select(cell, F.posexplode("_v").alias("_pos", "_x"))

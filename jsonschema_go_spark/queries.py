@@ -672,7 +672,7 @@ _KS_BINNED_SQL = """
              SUM(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_b
       FROM m
     )
-    SELECT round(MAX(abs(cum_a / tot.na - cum_b / tot.nb)), 6) AS statistic
+    SELECT MAX(abs(cum_a / tot.na - cum_b / tot.nb)) AS raw_stat
     FROM e CROSS JOIN tot
 """
 
@@ -688,19 +688,21 @@ _CHI2_GROUPED_SQL = """
       SELECT o.o, rt.rt * ct.ct / tot.n AS e
       FROM obs o JOIN rt USING (grp) JOIN ct USING (val) CROSS JOIN tot
     )
-    SELECT round(SUM(pow(o - e, 2) / e), 6) AS statistic FROM cells
+    SELECT SUM(pow(o - e, 2) / e) AS raw_stat FROM cells
 """
 
 _register(
     "drift_grouped_events",
     q_drift_grouped_events,
     f"""
-    SELECT 'event_type' AS column, 'chi_square' AS test, statistic,
-           statistic > 30.0 AS drifted
+    SELECT 'event_type' AS column, 'chi_square' AS test,
+           round(raw_stat, 6) AS statistic,
+           raw_stat > 30.0 AS drifted
     FROM ({_CHI2_GROUPED_SQL})
     UNION ALL
-    SELECT 'value' AS column, 'ks' AS test, statistic,
-           statistic > 0.1 AS drifted
+    SELECT 'value' AS column, 'ks' AS test,
+           round(raw_stat, 6) AS statistic,
+           raw_stat > 0.1 AS drifted
     FROM ({_KS_BINNED_SQL})
     """,
 )

@@ -57,6 +57,10 @@ class TableIO:
         re-processed bucket never appends duplicates (at-least-once → exactly-
         once per bucket). No-op when the table/partition doesn't exist."""
         if self.format == "iceberg":
+            # honor the no-op contract on a fresh run: the output table does
+            # not exist before the first bucket's append
+            if not self.spark.catalog.tableExists(name):
+                return
             self.spark.sql(f"DELETE FROM {name} WHERE {col} = {value}")
             return
         jvm = self.spark._jvm

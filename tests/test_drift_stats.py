@@ -174,3 +174,29 @@ def test_drift_report_grouped_matches_per_column(spark):
         assert pc[c]["test"] == gr[c]["test"]
         assert gr[c]["statistic"] == pytest.approx(pc[c]["statistic"], rel=1e-9)
         assert pc[c]["drifted"] == gr[c]["drifted"]
+
+
+def test_drift_report_grouped_all_null_column(spark):
+    """Review finding: an all-NULL numeric column crashed bounds computation;
+    it is now reported with NULL statistic instead of killing the report."""
+    from jsonschema_go_spark.operators import drift as d
+
+    a = spark.createDataFrame(
+        [(None, "x", 1.0), (None, "y", 2.0)], "dead double, cat string, v double"
+    )
+    b = spark.createDataFrame(
+        [(None, "x", 1.5), (None, "x", 2.5)], "dead double, cat string, v double"
+    )
+    out = {r["column"]: r for r in d.drift_report_grouped(
+        a, b, categorical=["cat"], numeric=["dead", "v"], ks_buckets=16
+    ).collect()}
+    assert out["dead"]["statistic"] is None and out["dead"]["drifted"] is None
+    assert out["v"]["statistic"] is not None
+    assert out["cat"]["test"] == "chi_square"
+
+    # one-side-empty numeric: NULL statistic, not a division crash
+    empty_b = b.where(F.col("v") < 0)
+    out2 = {r["column"]: r for r in d.drift_report_grouped(
+        a, empty_b, numeric=["v"], ks_buckets=16
+    ).collect()}
+    assert out2["v"]["statistic"] is None

@@ -38,9 +38,18 @@ class _FakeReader:
         return "SENTINEL_DF"
 
 
+class _FakeCatalog:
+    def __init__(self, tables):
+        self.tables = tables
+
+    def tableExists(self, name):
+        return name in self.tables
+
+
 class _FakeSpark:
-    def __init__(self, log):
+    def __init__(self, log, tables=()):
         self.log = log
+        self.catalog = _FakeCatalog(set(tables))
 
     @property
     def read(self):
@@ -69,13 +78,19 @@ def test_iceberg_append_and_overwrite_route_through_writeTo(spark, monkeypatch):
 
 def test_iceberg_read_and_delete_partition_contract():
     calls = []
-    io = TableIO(_FakeSpark(calls), format="iceberg")
+    io = TableIO(_FakeSpark(calls, tables={"lake.db.t"}), format="iceberg")
     assert io.read("lake.db.t") == "SENTINEL_DF"
     io.delete_partition("lake.db.t", "bucket", 3)
     assert calls == [
         ("read", "iceberg", "lake.db.t"),
         ("sql", "DELETE FROM lake.db.t WHERE bucket = 3"),
     ]
+    # no-op contract: a fresh run deletes before the table exists — must not
+    # issue DELETE FROM against a missing table (review finding)
+    calls2 = []
+    io2 = TableIO(_FakeSpark(calls2), format="iceberg")
+    io2.delete_partition("lake.db.missing", "bucket", 0)
+    assert calls2 == []
 
 
 # ------------------------------------------------------- violation sampling

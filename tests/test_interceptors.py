@@ -305,3 +305,31 @@ def test_strip_def_name_prefix(spark):
     opts = CompileOptions(intercept_def_name=strip_def_name_prefix("turn_", "conv_"))
     checks = compile_column("turn_idx", Rule(minimum=0), T.IntegerType(), options=opts)
     assert [ch.rule_id for ch in checks] == ["idx.minimum"]
+
+
+def test_def_name_hook_runs_before_conflict_suffixing(spark):
+    """Review finding: the rewrite hook ran after conflict detection, so two
+    post-rewrite-identical names could silently collide. The hook now feeds
+    DefNameRegistry's rewrite, and the second owner gets Type2."""
+    from jsonschema_go_spark import TableRule, compile_table
+    from jsonschema_go_spark.compile import strip_def_name_prefix
+
+    opts = CompileOptions(
+        camel_def_names=True,
+        intercept_def_name=strip_def_name_prefix("User"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_a", T.IntegerType(), True),
+            T.StructField("a", T.IntegerType(), True),
+        ]
+    )
+    tr = TableRule(
+        name="t",
+        columns={"user_a": Rule(minimum=0), "a": Rule(minimum=0)},
+        metadata={},
+    )
+    plan = compile_table(tr, schema, opts)
+    ids = [c.rule_id for c in plan.checks]
+    assert len(set(ids)) == len(ids), ids  # no silent collision
+    assert ids == ["AMinimum", "AMinimumType2"]

@@ -212,3 +212,12 @@ def test_kmeans_centroids_and_ivf_exhaustive_equivalence(spark):
     )
     got = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
     assert got and got.issubset({(x[0], x[1]) for x in a} | got)
+
+
+def test_kmeans_survives_zero_vector(spark):
+    """Review finding: cosine assignment divided by zero on a zero-norm
+    vector (job abort under ANSI). Zero vectors now score -1 everywhere."""
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.kmeans_centroids(df, "vec_id", "embedding", k=2, iters=2)
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)
