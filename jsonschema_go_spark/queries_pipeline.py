@@ -442,6 +442,53 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ann_recall_report", q_ann_recall_report, None)
 
 
+def q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF probe recall on a CLUSTERED corpus (the realistic
+    shape — `ann_recall_report` measures near-uniform vectors where
+    probe-limited recall is inherently pessimistic). 16 clusters × 32
+    members are synthesized from the first 16 embeddings with deterministic
+    multiplicative jitter; cells come from k-means, so most of a query's
+    true neighbors share its cell and small probe counts recover them."""
+    from jsonschema_go_spark.operators import similarity as _sim
+
+    centers = (
+        _read(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("_c"), "embedding")
+    )
+    members = (
+        centers.crossJoin(spark.range(32).select(F.col("id").alias("_m")))
+        .select(
+            (F.col("_c") * 1000 + F.col("_m")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                * (F.lit(1.0) + F.lit(0.02) * ((F.col("_m") * 7 + i) % 5).cast("double")),
+            ).alias("embedding"),
+        )
+    )
+    qids = [0, 1000, 2000, 3000, 4000]
+    truth = _sim.cosine_topk(members, "vec_id", "embedding", qids, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    cents = _sim.kmeans_centroids(members, "vec_id", "embedding", k=16, iters=3)
+    reports = []
+    total = truth.count()
+    for n_probe in (1, 2, 4):
+        approx = _sim.ivf_topk(
+            members, "vec_id", "embedding", qids, k=5,
+            n_cells=16, n_probe=n_probe, centroids=cents,
+        ).select("query_id", "neighbor_id")
+        hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
+        reports.append((n_probe, hits, total, round(hits / total, 4)))
+    return spark.createDataFrame(
+        reports, "n_probe int, hits long, truth_size long, recall double"
+    )
+
+
+_register("ann_recall_clustered", q_ann_recall_clustered, None)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "embeddings")
     return sim.embedding_near_dup_pairs(
