@@ -55,10 +55,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     queries = get_queries()
-    # ann_recall_report is a meta-measurement (it runs brute force + 3 IVF
-    # configurations and compares them) — it belongs in the correctness gate,
-    # not in per-operator wall timings
+    # recall reports are meta-measurements (each runs brute force + several
+    # IVF configurations and compares them) — they belong in the correctness
+    # gate, not in per-operator wall timings
     queries.pop("ann_recall_report", None)
+    queries.pop("ann_recall_clustered", None)
 
     # warm the JVM/codegen once on the smallest table
     spark.read.parquet(f"{sf_dir}/region.parquet").count()

@@ -95,3 +95,108 @@ def synthesize_assets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .otherwise(F.lit("video/mp4"))
         .alias("media_type"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("resized_checksum", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    id_col: str = "asset_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """STUB decode, REAL plumbing: "resize" every image payload to a
+    width×height byte buffer via Arrow mapInPandas (narrow, no shuffle).
+
+    The real body is ``PIL.Image.open(io.BytesIO(b)).resize((w, h))`` — not
+    available in this container, so the deterministic stand-in tiles the
+    payload bytes to exactly ``w*h`` bytes (truncate/repeat), which keeps the
+    output schema, byte sizes, and checksums assertable in tests.
+    """
+
+    def _resize(batches):
+        target = width * height
+        for pdf in batches:
+            data = pdf[bin_col]
+
+            def tile(b):
+                if b is None:
+                    return None
+                raw = bytes(b) or b"\x00"
+                reps = (target // len(raw)) + 1
+                return (raw * reps)[:target]
+
+            resized = data.map(tile)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "resized": resized,
+                    "resized_checksum": resized.map(
+                        lambda b: None if b is None else hashlib.sha256(b).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("frame_bytes", T.IntegerType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "asset_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """STUB decode, REAL plumbing: sample ``n_frames`` evenly spaced frames
+    per video — a 1→N ``mapInPandas`` (output rows ≠ input rows; the shape a
+    real ffmpeg frame sampler produces).
+
+    The stand-in splits the payload into ``n_frames`` contiguous slices;
+    payloads shorter than ``n_frames`` bytes yield fewer frames (mirrors a
+    clip shorter than the sampling interval).
+    """
+
+    def _sample(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame": [], "frame_bytes": []}
+            for aid, b in zip(pdf[id_col].astype("int64"), pdf[bin_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                k = min(n_frames, len(raw))
+                for i in range(k):
+                    lo = (i * len(raw)) // max(k, 1)
+                    hi = ((i + 1) * len(raw)) // max(k, 1)
+                    chunk = raw[lo:hi]
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(chunk)
+                    out["frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        _sample, FRAME_SCHEMA
+    )

@@ -221,3 +221,32 @@ def test_kmeans_survives_zero_vector(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = sim.kmeans_centroids(df, "vec_id", "embedding", k=2, iters=2)
     assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize (1→1) and frame-sample (1→N) plumbing: typed schemas, exact
+    byte sizes, deterministic checksums — only the decode body is a stub."""
+    from jsonschema_go_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    assets = mm.synthesize_assets(docs, "doc_id", "text")
+
+    resized = mm.resize_images(assets, width=8, height=4).orderBy("asset_id")
+    rows = resized.collect()
+    assert [r["asset_id"] for r in rows] == [1, 2, 3]
+    assert all(len(r["resized"]) == 32 for r in rows)  # 8*4 bytes exactly
+    # deterministic: same inputs, same checksums on a second run
+    again = {r["asset_id"]: r["resized_checksum"] for r in mm.resize_images(assets, 8, 4).collect()}
+    assert again == {r["asset_id"]: r["resized_checksum"] for r in rows}
+
+    frames = mm.sample_frames(assets, n_frames=4).orderBy("asset_id", "frame_idx")
+    by_asset = {}
+    for r in frames.collect():
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert len(by_asset[1]) == 4  # 11-byte payload → 4 frames
+    assert sum(r["frame_bytes"] for r in by_asset[1]) == 11  # slices cover all
+    assert len(by_asset[2]) == 1  # 1-byte payload → short clip, 1 frame
+    # doc 3 has empty payload (None text → ''): zero frames
+    assert 3 not in by_asset
