@@ -73,10 +73,10 @@ class DefNameRegistry:
         self.rewrite = rewrite
         self._names: Dict[str, str] = {}  # name -> owner key
 
-    def name_for(self, owner: str, raw: str) -> str:
+    def name_for(self, owner: str, raw: str, camel: bool = True) -> str:
         attempt = 1
         while True:
-            name = to_camel(raw)
+            name = to_camel(raw) if camel else raw
             if self.rewrite is not None:
                 name = self.rewrite(owner, name)
             if attempt > 1:
@@ -441,7 +441,8 @@ def _keyword_preds(
             try:
                 pred = format_predicate(rule.format, str_c, strict=opts.strict_formats)
             except KeyError as e:
-                raise CompileError(str(e)) from e
+                # e.args[0], not str(e): KeyError str() wraps in extra quotes
+                raise CompileError(e.args[0]) from e
             if rule.format in FORMAT_PREDICATES:
                 yield "format", pred
             # else annotation-only: no check row (oracle.summary_sql parity)
@@ -645,10 +646,15 @@ def compile_column(
         # the reference's order: DefName hook, THEN TypeN de-duplication.
         if opts.camel_def_names:
             return names.name_for(f"{name}.{keyword}", f"{name} {keyword}")
-        default = f"{name}.{keyword}"
         if opts.intercept_def_name is not None:
-            return opts.intercept_def_name(name, keyword, default)
-        return default
+            # a rewrite hook can map distinct defaults to one name (e.g. a
+            # prefix-strip of 'user_a.x' onto 'a.x') — route through the
+            # registry so collisions get TypeN suffixes instead of silently
+            # merging two checks' violation attribution
+            return names.name_for(
+                f"{name}.{keyword}", f"{name}.{keyword}", camel=False
+            )
+        return f"{name}.{keyword}"
 
     if required:
         out.append(
@@ -721,7 +727,13 @@ def compile_table(
         if isinstance(r, Rule):
             registry.load_definitions(r)
 
-    def_names = _def_name_registry(opts) if opts.camel_def_names else None
+    # a shared registry is needed whenever names can collide across columns:
+    # camel casing or a user rewrite hook
+    def_names = (
+        _def_name_registry(opts)
+        if (opts.camel_def_names or opts.intercept_def_name is not None)
+        else None
+    )
     checks: List[CompiledCheck] = []
     for col, r in table_rule.columns.items():
         if col not in schema.names:

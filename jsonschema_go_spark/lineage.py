@@ -110,18 +110,24 @@ class CheckpointedRun:
     sub_buckets: int = 8
 
     @property
-    def _staged_table(self) -> str:
+    def _safe_run_id(self) -> str:
+        """run_id as a safe identifier fragment for EVERY derived table name
+        (staged/violations/verdicts/quality — a raw 'r.1' would parse as a
+        namespace on the Iceberg path). Sanitization is lossy ('r.1' and
+        'r_1' both map to 'r_1'), so non-identifier run_ids get an md5
+        suffix — otherwise a resume could silently use another run's data."""
         import hashlib
         import re
 
         safe = re.sub(r"[^A-Za-z0-9_]", "_", self.run_id)
         if safe == self.run_id:
-            return f"staged_{safe}"
-        # sanitization is lossy ('r.1' and 'r_1' both map to 'r_1'); an
-        # md5 suffix keeps distinct run_ids from sharing a staged table —
-        # otherwise a resume could silently validate another run's input
+            return safe
         tag = hashlib.md5(self.run_id.encode()).hexdigest()[:8]
-        return f"staged_{safe}_{tag}"
+        return f"{safe}_{tag}"
+
+    @property
+    def _staged_table(self) -> str:
+        return f"staged_{self._safe_run_id}"
 
     def _stage_input(self, df: DataFrame, resume: bool) -> DataFrame:
         """Stage the input hash-partitioned by bucket — ONE full pass.
@@ -215,26 +221,26 @@ class CheckpointedRun:
             # idempotence: a crash between append and lineage-record leaves
             # the bucket unmarked; dropping its partition before (re)writing
             # makes the at-least-once loop exactly-once per bucket
-            self.io.delete_partition(f"violations_{self.run_id}", "bucket", b)
-            self.io.delete_partition(f"verdicts_{self.run_id}", "bucket", b)
+            self.io.delete_partition(f"violations_{self._safe_run_id}", "bucket", b)
+            self.io.delete_partition(f"verdicts_{self._safe_run_id}", "bucket", b)
             # partition pruning: reads only the _bucket=b directory
             part = staged.where(F.col("_bucket") == b).drop("_bucket")
             viol = plan.violations(part, list(keys), ordered=False).withColumn(
                 "bucket", F.lit(b)
             )
-            self.io.append(viol, f"violations_{self.run_id}", partition_by=["bucket"])
+            self.io.append(viol, f"violations_{self._safe_run_id}", partition_by=["bucket"])
             # exchange-free: the staged table is bucketed+sorted on key_col,
             # so this per-conversation aggregate shuffles nothing
             verd = plan.verdicts(part, self.key_col).withColumn("bucket", F.lit(b))
             verd.cache()
-            self.io.append(verd, f"verdicts_{self.run_id}", partition_by=["bucket"])
+            self.io.append(verd, f"verdicts_{self._safe_run_id}", partition_by=["bucket"])
             if quality_checks:
                 # (key, order) uniqueness + per-key chain contiguity in the
                 # SAME bucket pass — both group on (or by a superset of) the
                 # storage-bucket key, so neither plans an Exchange either
                 from .operators import uniqueness as _uq
 
-                self.io.delete_partition(f"quality_{self.run_id}", "bucket", b)
+                self.io.delete_partition(f"quality_{self._safe_run_id}", "bucket", b)
                 uniq = _uq.uniqueness_verdict(part, [self.key_col, order_col])
                 contig = _uq.contiguity(part, self.key_col, order_col, start=0).agg(
                     F.count(F.lit(1)).alias("n_groups"),
@@ -253,7 +259,7 @@ class CheckpointedRun:
                     )
                     .withColumn("bucket", F.lit(b))
                 )
-                self.io.append(qual, f"quality_{self.run_id}", partition_by=["bucket"])
+                self.io.append(qual, f"quality_{self._safe_run_id}", partition_by=["bucket"])
             if fail_before_record is not None and b == fail_before_record:
                 verd.unpersist()
                 raise RuntimeError(f"simulated crash before record at bucket {b}")

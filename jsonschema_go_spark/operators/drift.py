@@ -104,30 +104,45 @@ def drift_report_grouped(
         raise ValueError("no columns to check")
 
     bounds = {}
-    degenerate = []  # all-NULL on both sides: no distribution to compare
-    if numeric:
-        aggs = []
-        for c in numeric:
-            v = F.col(c).cast("double")
-            aggs += [F.min(v).alias(f"mn_{c}"), F.max(v).alias(f"mx_{c}")]
-        ba, bb = df_a.agg(*aggs).first(), df_b.agg(*aggs).first()
-        for c in numeric:
-            # None-safe bounds: one side may have zero non-null values
-            mns = [x for x in (ba[f"mn_{c}"], bb[f"mn_{c}"]) if x is not None]
-            mxs = [x for x in (ba[f"mx_{c}"], bb[f"mx_{c}"]) if x is not None]
-            if not mns:
-                degenerate.append(c)
-                continue
-            lo, hi = min(mns), max(mxs)
-            bounds[c] = (lo, (hi - lo) or 1.0)
-        numeric = [c for c in numeric if c not in degenerate]
+    degenerate = []  # (column, test) all-NULL on both sides: nothing to compare
+    # ONE stats pass per snapshot covers numeric bounds AND categorical
+    # non-null counts (all-NULL categorical groups never form in the melt,
+    # so they must be detected up front or they'd vanish from the report)
+    aggs = []
+    for c in numeric:
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"mn_{c}"), F.max(v).alias(f"mx_{c}")]
+    for c in categorical:
+        aggs.append(F.count(F.col(c)).alias(f"ct_{c}"))
+    ba, bb = df_a.agg(*aggs).first(), df_b.agg(*aggs).first()
+    for c in numeric:
+        # None-safe bounds: one side may have zero non-null values
+        mns = [x for x in (ba[f"mn_{c}"], bb[f"mn_{c}"]) if x is not None]
+        mxs = [x for x in (ba[f"mx_{c}"], bb[f"mx_{c}"]) if x is not None]
+        if not mns:
+            degenerate.append((c, "ks"))
+            continue
+        lo, hi = min(mns), max(mxs)
+        bounds[c] = (lo, (hi - lo) or 1.0)
+    degenerate += [
+        (c, "chi_square")
+        for c in categorical
+        if ba[f"ct_{c}"] == 0 and bb[f"ct_{c}"] == 0
+    ]
+    deg_cols = {c for c, _ in degenerate}
+    numeric = [c for c in numeric if c not in deg_cols]
+    categorical = [c for c in categorical if c not in deg_cols]
+
+    out_schema = "column string, test string, statistic double, drifted boolean"
+    deg_df = (
+        df_a.sparkSession.createDataFrame(
+            [(c, t, None, None) for c, t in degenerate], out_schema
+        )
+        if degenerate
+        else None
+    )
     if not categorical and not numeric:
-        if degenerate:
-            return df_a.sparkSession.createDataFrame(
-                [(c, "ks", None, None) for c in degenerate],
-                "column string, test string, statistic double, drifted boolean",
-            )
-        raise ValueError("no columns to check")
+        return deg_df  # guaranteed non-None: the entry guard required columns
 
     def melt(df: DataFrame, snap: str) -> DataFrame:
         structs = []
@@ -208,15 +223,10 @@ def drift_report_grouped(
             [{"column": col, "test": test, "statistic": statistic, "drifted": bool(drifted)}]
         )
 
-    out_schema = "column string, test string, statistic double, drifted boolean"
     out = counts.groupBy("column").applyInPandas(stat, out_schema)
-    if degenerate:
+    if deg_df is not None:
         # all-NULL-everywhere columns are reported, not silently dropped
-        spark = df_a.sparkSession
-        deg = spark.createDataFrame(
-            [(c, "ks", None, None) for c in degenerate], out_schema
-        )
-        out = out.unionByName(deg)
+        out = out.unionByName(deg_df)
     return out
 
 
@@ -289,8 +299,13 @@ def ks_exact(
         F.sum("ca").over(w).alias("cum_a"),
         F.sum("cb").over(w).alias("cum_b"),
     ).crossJoin(F.broadcast(tot))
+    # null-safe: a snapshot with zero values has no ECDF (x/0 aborts under
+    # ANSI) — report ks_d NULL instead of killing the job
+    diff = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(None)
+    ).otherwise(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")))
     return ecdf.agg(
-        F.max(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb"))).alias("ks_d"),
+        F.max(diff).alias("ks_d"),
         F.first("na").cast("long").alias("n_a"),
         F.first("nb").cast("long").alias("n_b"),
     )
@@ -315,8 +330,15 @@ def ks_binned(
     if lo is None or hi is None:
         bounds_a = df_a.agg(F.min(va).alias("mn"), F.max(va).alias("mx")).first()
         bounds_b = df_b.agg(F.min(va).alias("mn"), F.max(va).alias("mx")).first()
-        lo = min(bounds_a["mn"], bounds_b["mn"])
-        hi = max(bounds_a["mx"], bounds_b["mx"])
+        mns = [x for x in (bounds_a["mn"], bounds_b["mn"]) if x is not None]
+        mxs = [x for x in (bounds_a["mx"], bounds_b["mx"]) if x is not None]
+        if not mns:
+            # both snapshots all-NULL: no distribution to compare
+            return df_a.sparkSession.createDataFrame(
+                [(None, 0, 0, buckets)],
+                "ks_d double, n_a long, n_b long, buckets long",
+            )
+        lo, hi = min(mns), max(mxs)
     span = (hi - lo) or 1.0
 
     def binned(df: DataFrame, alias: str) -> DataFrame:
@@ -344,8 +366,11 @@ def ks_binned(
         F.sum("ca").over(w).alias("cum_a"),
         F.sum("cb").over(w).alias("cum_b"),
     ).crossJoin(F.broadcast(tot))
+    diff = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(None)
+    ).otherwise(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")))
     return ecdf.agg(
-        F.max(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb"))).alias("ks_d"),
+        F.max(diff).alias("ks_d"),
         F.first("na").cast("long").alias("n_a"),
         F.first("nb").cast("long").alias("n_b"),
         F.lit(buckets).cast("long").alias("buckets"),

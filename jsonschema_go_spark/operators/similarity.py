@@ -39,8 +39,17 @@ def norm(a: Column) -> Column:
     )
 
 
+def _safe_ratio(d: Column, na: Column, nb: Column) -> Column:
+    """dot/(na*nb) with a zero-norm guard: cosine is undefined for a zero
+    vector, and x/0.0 aborts the job under ANSI mode (while NaN would poison
+    every desc() window — Spark orders NaN above all doubles). Zero-norm
+    pairs score -1.0: never a near-dup, never a top-k winner."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(-1.0)).otherwise(d / denom)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return _safe_ratio(dot(a, b), norm(a), norm(b))
 
 
 def cosine_topk(
@@ -73,7 +82,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+                _safe_ratio(dot(F.col("_qv"), F.col("_cv")), F.col("_qn"), F.col("_cn")), 6
             ).alias("cos"),
         )
     )
@@ -125,7 +134,7 @@ def embedding_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                _safe_ratio(dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")), 6
             ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
@@ -210,7 +219,7 @@ def lsh_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("_va"), F.col("_vv")) / (F.col("_na") * F.col("_vn")), 6
+                _safe_ratio(dot(F.col("_va"), F.col("_vv")), F.col("_na"), F.col("_vn")), 6
             ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
@@ -251,9 +260,7 @@ def kmeans_centroids(
         # -1 instead of a divide-by-zero (ANSI mode aborts the job on x/0)
         sims = F.transform(
             cl,
-            lambda p: F.when(
-                (F.col("_vn") * norm(p)) == 0, F.lit(-1.0)
-            ).otherwise(dot(F.col("_v"), p) / (F.col("_vn") * norm(p))),
+            lambda p: _safe_ratio(dot(F.col("_v"), p), F.col("_vn"), norm(p)),
         )
         cell = (F.array_position(sims, F.array_max(sims)) - 1).alias("_cell")
         means = (
@@ -296,7 +303,7 @@ def ivf_index(
         F.col(id_col),
         F.col(vec_col),
         "cell",
-        (dot(F.col(vec_col), F.col("_cent")) / (F.col("_vn") * F.col("_centn"))).alias("_sim"),
+        _safe_ratio(dot(F.col(vec_col), F.col("_cent")), F.col("_vn"), F.col("_centn")).alias("_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
     return (
@@ -374,7 +381,7 @@ def ivf_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                dot(F.col("_qv"), F.col(vec_col)) / (F.col("_qn") * F.col("_in")), 6
+                _safe_ratio(dot(F.col("_qv"), F.col(vec_col)), F.col("_qn"), F.col("_in")), 6
             ).alias("cos"),
         )
         .groupBy("query_id", "neighbor_id")  # a neighbor may match via several probes

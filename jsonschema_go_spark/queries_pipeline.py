@@ -418,25 +418,39 @@ def q_ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ann_ivf_topk_embeddings", q_ann_ivf_topk_embeddings, ORACLES["ann_topk_embeddings"])
 
 
+def _ivf_recall_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    qids,
+    n_cells: int = 16,
+    probes=(1, 2, 4),
+    centroids=None,
+) -> DataFrame:
+    """recall@5 of probe-limited IVF vs brute force per n_probe (shared by
+    the uniform and clustered reports)."""
+    truth = sim.cosine_topk(df, "vec_id", "embedding", qids, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    total = truth.count()
+    reports = []
+    for n_probe in probes:
+        approx = sim.ivf_topk(
+            df, "vec_id", "embedding", qids, k=5,
+            n_cells=n_cells, n_probe=n_probe, centroids=centroids,
+        ).select("query_id", "neighbor_id")
+        hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
+        reports.append((n_probe, hits, total, round(hits / total, 4)))
+    return spark.createDataFrame(
+        reports, "n_probe int, hits long, truth_size long, recall double"
+    )
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: recall@5 of probe-limited IVF vs brute force per n_probe —
     makes the accuracy/cost trade of the 100 TB path visible
     (n_probe/n_cells is the fraction of storage buckets read per query)."""
     df = _read(spark, sf_dir, "embeddings")
-    truth = sim.cosine_topk(df, "vec_id", "embedding", _ANN_QUERY_IDS, k=5).select(
-        "query_id", "neighbor_id"
-    )
-    reports = []
-    for n_probe in (1, 2, 4):
-        approx = sim.ivf_topk(
-            df, "vec_id", "embedding", _ANN_QUERY_IDS, k=5, n_cells=16, n_probe=n_probe
-        ).select("query_id", "neighbor_id")
-        hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
-        total = truth.count()
-        reports.append((n_probe, hits, total, round(hits / total, 4)))
-    return spark.createDataFrame(
-        reports, "n_probe int, hits long, truth_size long, recall double"
-    )
+    return _ivf_recall_rows(spark, df, _ANN_QUERY_IDS)
 
 
 _register("ann_recall_report", q_ann_recall_report, None)
@@ -449,13 +463,15 @@ def q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     members are synthesized from the first 16 embeddings with deterministic
     multiplicative jitter; cells come from k-means, so most of a query's
     true neighbors share its cell and small probe counts recover them."""
-    from jsonschema_go_spark.operators import similarity as _sim
-
     centers = (
         _read(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 16)
         .select(F.col("vec_id").alias("_c"), "embedding")
     )
+    # jitter factor must vary with the FULL member index: 67 and 13 are
+    # coprime to the modulus 97 > 32 members, so every member is a distinct
+    # vector (an earlier %5 cycle collapsed each cluster to 5 exact
+    # duplicates, making recall vacuously 1.0)
     members = (
         centers.crossJoin(spark.range(32).select(F.col("id").alias("_m")))
         .select(
@@ -463,27 +479,16 @@ def q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 "embedding",
                 lambda x, i: x.cast("double")
-                * (F.lit(1.0) + F.lit(0.02) * ((F.col("_m") * 7 + i) % 5).cast("double")),
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.002) * ((F.col("_m") * 67 + i * 13) % 97).cast("double")
+                ),
             ).alias("embedding"),
         )
     )
     qids = [0, 1000, 2000, 3000, 4000]
-    truth = _sim.cosine_topk(members, "vec_id", "embedding", qids, k=5).select(
-        "query_id", "neighbor_id"
-    )
-    cents = _sim.kmeans_centroids(members, "vec_id", "embedding", k=16, iters=3)
-    reports = []
-    total = truth.count()
-    for n_probe in (1, 2, 4):
-        approx = _sim.ivf_topk(
-            members, "vec_id", "embedding", qids, k=5,
-            n_cells=16, n_probe=n_probe, centroids=cents,
-        ).select("query_id", "neighbor_id")
-        hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
-        reports.append((n_probe, hits, total, round(hits / total, 4)))
-    return spark.createDataFrame(
-        reports, "n_probe int, hits long, truth_size long, recall double"
-    )
+    cents = sim.kmeans_centroids(members, "vec_id", "embedding", k=16, iters=3)
+    return _ivf_recall_rows(spark, members, qids, centroids=cents)
 
 
 _register("ann_recall_clustered", q_ann_recall_clustered, None)
