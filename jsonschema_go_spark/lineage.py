@@ -127,7 +127,16 @@ class CheckpointedRun:
 
     @property
     def _staged_table(self) -> str:
-        return f"staged_{self._safe_run_id}"
+        """Catalog name for the staged table. The session catalog is GLOBAL
+        but TableIO data is path-scoped, so the name folds in a digest of the
+        output base_path: two CheckpointedRuns with the same run_id but
+        different base_paths in one Spark session must never resume against
+        each other's staged files (the run_id sanitization guard alone covers
+        name collisions, not path divergence)."""
+        import hashlib
+
+        loc = hashlib.md5((self.io.base_path or "").encode()).hexdigest()[:8]
+        return f"staged_{self._safe_run_id}_{loc}"
 
     def _stage_input(self, df: DataFrame, resume: bool) -> DataFrame:
         """Stage the input hash-partitioned by bucket — ONE full pass.

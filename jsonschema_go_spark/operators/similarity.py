@@ -429,10 +429,18 @@ def sign_lsh_bucket_vectorized(dim: int, planes: int, seed: int = 42):
     # SCALAR eval); string annotations would not resolve under
     # `from __future__ import annotations` with locally-imported pandas
     def _sig(col):
-        arr = np.stack(col.to_numpy()).astype("float64")  # (n, dim)
-        bits = (arr @ mat) >= 0.0  # (n, planes)
-        chars = np.where(bits, "1", "0")
-        return pd.Series(["".join(row) for row in chars])
+        # NULL vectors get a NULL signature (np.stack over a None element
+        # would crash the whole batch): NULL band keys never equi-join, so
+        # null-vector rows produce no candidates — matching the exact path,
+        # where a null dot → null cos is dropped by the threshold filter.
+        valid = col.notna()
+        out = pd.Series([None] * len(col), dtype="object")
+        if valid.any():
+            arr = np.stack(col[valid].to_numpy()).astype("float64")  # (n, dim)
+            bits = (arr @ mat) >= 0.0  # (n, planes)
+            chars = np.where(bits, "1", "0")
+            out[valid.to_numpy()] = ["".join(row) for row in chars]
+        return out
 
     _sig.__annotations__ = {"col": pd.Series, "return": pd.Series}
     return pandas_udf(_sig, "string")

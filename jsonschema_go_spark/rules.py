@@ -518,23 +518,48 @@ def inline_refs(rule: "RuleOrBool", resolver) -> "RuleOrBool":
 
     ``resolver``: ``ref string -> RuleOrBool | None`` (e.g.
     ``RuleRegistry.resolver()``); unresolvable refs are kept verbatim.
+
+    The traversal is KEYWORD-AWARE: only the values of schema-bearing
+    keywords are walked as schemas. Data-carrying keyword values
+    (``const``/``enum``/``default``/``examples``...) pass through verbatim —
+    a dict enum member or a property literally named ``"$ref"`` inside a
+    ``properties`` map is data, not a reference (reflect.go resolves refs
+    only at schema-node positions).
     """
+    # keyword -> shape of its schema payload
+    _MAP_OF_SCHEMAS = {"properties", "patternProperties", "definitions"}
+    _SINGLE_SCHEMA = {
+        "additionalItems", "additionalProperties", "contains",
+        "propertyNames", "not", "if", "then", "else",
+    }
+    _LIST_OF_SCHEMAS = {"allOf", "anyOf", "oneOf"}
 
     def walk(node, stack):
+        # `node` is always at a SCHEMA position here
         if isinstance(node, bool) or not isinstance(node, dict):
             return node
         out = {}
         for k, v in node.items():
             if k == "$ref":
                 out[k] = v
-            elif isinstance(v, (dict, bool)):
+            elif k in _MAP_OF_SCHEMAS and isinstance(v, dict):
+                out[k] = {name: walk(s, stack) for name, s in v.items()}
+            elif k == "items":
+                out[k] = (
+                    [walk(x, stack) for x in v] if isinstance(v, list) else walk(v, stack)
+                )
+            elif k in _SINGLE_SCHEMA:
                 out[k] = walk(v, stack)
-            elif isinstance(v, list):
-                out[k] = [
-                    walk(x, stack) if isinstance(x, (dict, bool)) else x for x in v
-                ]
+            elif k in _LIST_OF_SCHEMAS and isinstance(v, list):
+                out[k] = [walk(x, stack) for x in v]
+            elif k == "dependencies" and isinstance(v, dict):
+                # value per key: list of property names (data) OR a schema
+                out[k] = {
+                    dk: (list(dv) if isinstance(dv, list) else walk(dv, stack))
+                    for dk, dv in v.items()
+                }
             else:
-                out[k] = v
+                out[k] = v  # data-carrying keyword: verbatim
         ref = out.pop("$ref", None)
         if ref is not None:
             target = None if ref in stack else resolver(ref)

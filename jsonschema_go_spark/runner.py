@@ -113,13 +113,18 @@ def main(argv=None) -> int:
     # row total comes free from the per-bucket lineage metrics — no data scan
     from pyspark.sql import functions as F
 
+    # per bucket, take the LATEST attempt's row count (max_by finished_at):
+    # re-using a run_id on changed input without --resume leaves stale lineage
+    # rows from the earlier attempt, and max(rows) would report those
     n_rows = (
         io_out.read("lineage")
         .where(
-            (F.col("run_id") == args.run_id) & (F.col("status") == "done")
+            (F.col("run_id") == args.run_id)
+            & (F.col("stage") == "validate")
+            & (F.col("status") == "done")
         )
         .groupBy("bucket")
-        .agg(F.max("rows").alias("rows"))
+        .agg(F.max_by("rows", "finished_at").alias("rows"))
         .agg(F.sum("rows"))
         .first()[0]
         or 0

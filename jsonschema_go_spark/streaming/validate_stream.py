@@ -101,8 +101,11 @@ def stateful_contiguity_stream(
     import pandas as pd  # noqa: F401  (used inside the worker closure)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # key field type comes from the INPUT schema — a non-string conversation
+    # key (e.g. long ids) must round-trip through Arrow unchanged
+    key_type = stream.schema[conv_col].dataType.simpleString()
     out_schema = (
-        f"{conv_col} string, rows long, min_idx int, max_idx int, "
+        f"{conv_col} {key_type}, rows long, min_idx int, max_idx int, "
         "idx_sum long, idx_sumsq long, contiguous boolean"
     )
     state_schema = (

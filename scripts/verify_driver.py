@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Drive the driver contract end-to-end the way the per-round verify does:
+entry() smoke + every queries() entry vs its oracle_sql() in DuckDB at
+sf0.01 (row count, sorted-column schema, float-canonicalized values).
+
+Usage: python scripts/verify_driver.py [name ...]   # default: all queries
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+SF = "/root/testdata/sf0.01"
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if hasattr(v, "item"):
+        return canon(v.item())
+    return v
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n = e.entry(spark).count()
+    print(f"entry(): OK ({n} rows)")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    queries, oracles = e.queries(), e.oracle_sql()
+    only = set(sys.argv[1:])
+    failed = []
+    for name in sorted(queries):
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = queries[name](spark, SF)
+            s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"{name}: SPARK ERROR {type(ex).__name__}: {ex}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(s_rows)} rows) [{time.perf_counter()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols, d_rows = list(rel.columns), [tuple(r) for r in rel.fetchall()]
+        except Exception as ex:
+            print(f"{name}: ORACLE ERROR {type(ex).__name__}: {ex}")
+            failed.append(name)
+            continue
+        sc, sr = norm(s_rows, s_cols)
+        dc, dr = norm(d_rows, d_cols)
+        ok_schema, ok_rows = sc == dc, len(sr) == len(dr)
+        ok_vals = ok_schema and ok_rows and sr == dr
+        status = "PASS" if (ok_schema and ok_rows and ok_vals) else "FAIL"
+        print(
+            f"{name}: {status} rows={len(sr)}/{len(dr)} schema={ok_schema} "
+            f"hash={ok_vals} [{time.perf_counter()-t0:.1f}s]"
+        )
+        if status == "FAIL":
+            failed.append(name)
+            if not ok_schema:
+                print(f"  spark cols: {sc}\n  duck  cols: {dc}")
+            elif ok_rows:
+                for a, b in zip(sr, dr):
+                    if a != b:
+                        print(f"  first diff:\n  spark: {a}\n  duck : {b}")
+                        break
+    print(f"\n{'ALL PASS' if not failed else 'FAILED: ' + ', '.join(failed)}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
