@@ -387,22 +387,18 @@ def keyword_preds_sql(rule: Rule, c: str, elem_type: str = "scalar") -> List[tup
     return out
 
 
-def summary_sql(
+def check_preds_sql(
     table_rule: TableRule,
-    table: str,
     elem_types: Optional[dict] = None,
     elide_trivial: bool = True,
-) -> str:
-    """Oracle for ``ValidationPlan.summary``: one row per compiled check
-    ``(rule_id, fail_count, row_count)``.
-
-    ``elem_types`` maps column → type hint (see :func:`sql_pred`). The check
-    list must match :func:`compile.compile_table` exactly (same rule_ids),
-    including ``required`` checks and IsTrivial elision.
-    """
+) -> List[tuple]:
+    """(rule_id, pass-predicate SQL) for every check :func:`compile.compile_table`
+    would compile — same rule_ids, same ``required`` handling, same IsTrivial
+    elision. Shared by :func:`summary_sql` and :func:`verdict_sql` so every
+    oracle shape mirrors the identical check list."""
     elem_types = elem_types or {}
     required = set(table_rule.metadata.get("required", []))
-    selects = []
+    selects: List[tuple] = []
     for col, rule in table_rule.columns.items():
         et = elem_types.get(col, "scalar")
         if col in required:
@@ -419,6 +415,23 @@ def summary_sql(
         for kw, p in keyword_preds_sql(rule, col, et):
             # NULL input passes (required handled above)
             selects.append((f"{col}.{kw}", f"({col} IS NULL OR coalesce({p}, TRUE))"))
+    return selects
+
+
+def summary_sql(
+    table_rule: TableRule,
+    table: str,
+    elem_types: Optional[dict] = None,
+    elide_trivial: bool = True,
+) -> str:
+    """Oracle for ``ValidationPlan.summary``: one row per compiled check
+    ``(rule_id, fail_count, row_count)``.
+
+    ``elem_types`` maps column → type hint (see :func:`sql_pred`). The check
+    list must match :func:`compile.compile_table` exactly (same rule_ids),
+    including ``required`` checks and IsTrivial elision.
+    """
+    selects = check_preds_sql(table_rule, elem_types, elide_trivial)
     if not selects:
         return f"SELECT CAST(NULL AS VARCHAR) rule_id, CAST(NULL AS BIGINT) fail_count, CAST(NULL AS BIGINT) row_count WHERE FALSE"
     parts = [
@@ -428,3 +441,35 @@ def summary_sql(
         for rid, p in selects
     ]
     return " UNION ALL ".join(parts)
+
+
+def verdict_sql(
+    table_rule: TableRule,
+    table: str,
+    partition_col: str,
+    elem_types: Optional[dict] = None,
+    alias: str = "partition_key",
+) -> str:
+    """Oracle for ``ValidationPlan.verdicts``: per-partition
+    ``(partition_key, rows, fail_rows, violation_count, passed)`` from the
+    SAME check list as the Spark plan (per-row violation count = number of
+    failed checks; a row fails when any check fails)."""
+    selects = check_preds_sql(table_rule, elem_types)
+    if not selects:
+        return (
+            f"SELECT {partition_col} AS {alias}, COUNT(*)::BIGINT AS \"rows\", "
+            f"0::BIGINT AS fail_rows, 0::BIGINT AS violation_count, TRUE AS passed "
+            f"FROM {table} GROUP BY 1"
+        )
+    nviol = " + ".join(
+        f"(CASE WHEN NOT ({p}) THEN 1 ELSE 0 END)" for _, p in selects
+    )
+    return f"""
+    SELECT {alias},
+           COUNT(*)::BIGINT AS "rows",
+           SUM(CASE WHEN _nviol > 0 THEN 1 ELSE 0 END)::BIGINT AS fail_rows,
+           SUM(_nviol)::BIGINT AS violation_count,
+           (SUM(CASE WHEN _nviol > 0 THEN 1 ELSE 0 END) = 0) AS passed
+    FROM (SELECT {partition_col} AS {alias}, ({nviol}) AS _nviol FROM {table})
+    GROUP BY {alias}
+    """

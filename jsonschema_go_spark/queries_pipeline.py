@@ -597,19 +597,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("multimodal_features", q_multimodal_features, None)
 
 
+#: column → sql_pred elem-type hints for the staged transcript table
+_TRANSCRIPT_ELEM_TYPES = {
+    "conv_id": "string", "turn_idx": "integer", "role": "string",
+    "text": "string", "tool": "string", "ts": "timestamp",
+}
+
+
 def q_transcript_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only flagship: full transcript validation pipeline on the
-    deterministic synthetic table (scaled by sf); per-conversation verdicts.
-    Oracle-equivalent coverage lives in tests/test_transcripts.py where the
-    generated parquet is cross-checked row-for-row in DuckDB."""
+    """FLAGSHIP, fully gated: stage the deterministic synthetic transcript
+    table to parquet (the real pipeline shape — validation runs over a stored
+    table), read it back, and emit per-conversation verdicts
+    (``/root/reference/entities.go:620`` SchemaOrBool verdict analog per
+    SURVEY §2.3). The DuckDB oracle reads the SAME staged parquet and
+    recomputes the verdicts from the same rule document via
+    :func:`oracle.verdict_sql`."""
     from .compile import compile_table
-    from .sources.transcripts import generate_transcripts, transcript_table_rule
+    from .sources.transcripts import stage_transcripts, transcript_table_rule
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_convs = {"0.001": 1000, "0.01": 10000, "0.1": 100000}.get(sf, 1000)
-    df = generate_transcripts(spark, num_convs=n_convs, seed=42)
+    df = spark.read.parquet(stage_transcripts(spark, sf))
     plan = compile_table(transcript_table_rule(), df.schema)
     return plan.verdicts(df, "conv_id").orderBy("partition_key")
 
 
-_register("transcript_validation", q_transcript_validation, None)
+def _transcript_oracle() -> str:
+    from .oracle import verdict_sql
+    from .sources.transcripts import GEN_VERSION, STAGE_DIR, transcript_table_rule
+
+    # the driver's correctness gate runs at sf0.01 — the oracle reads the
+    # parquet q_transcript_validation stages for that scale
+    path = f"{STAGE_DIR}/transcripts_v{GEN_VERSION}_sf0.01"
+    body = verdict_sql(
+        transcript_table_rule(), "transcripts", "conv_id", _TRANSCRIPT_ELEM_TYPES
+    )
+    return (
+        f"WITH transcripts AS (SELECT * FROM read_parquet('{path}/*.parquet'))\n"
+        + body
+    )
+
+
+_register("transcript_validation", q_transcript_validation, _transcript_oracle())

@@ -149,6 +149,37 @@ def _inject_violations(df: DataFrame, seed: int, rate: float) -> DataFrame:
     )
 
 
+#: bump when generate_transcripts' output changes — versions the staged dirs
+GEN_VERSION = 1
+
+#: scale factor → conversation count for the driver/bench scales
+SF_CONVS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}
+
+#: staged transcript parquet root. Inside the repo (gitignored) so the
+#: DuckDB-oracle SQL can reference a stable absolute path.
+STAGE_DIR = "/root/repo/.stage"
+
+
+def stage_transcripts(spark: SparkSession, sf: str, seed: int = 42) -> str:
+    """Materialize the deterministic transcript table for scale ``sf`` to
+    parquet and return the directory path.
+
+    This is the real pipeline shape — validation runs over a *stored* table,
+    not an in-memory generator — and it is what lets the driver's DuckDB
+    oracle see the identical rows (``read_parquet`` on the same files). The
+    write is idempotent: data is deterministic for (GEN_VERSION, sf, seed),
+    so an existing ``_SUCCESS`` marker skips the write.
+    """
+    import os
+
+    n_convs = SF_CONVS.get(sf, 1_000)
+    path = f"{STAGE_DIR}/transcripts_v{GEN_VERSION}_sf{sf}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        df = generate_transcripts(spark, num_convs=n_convs, seed=seed)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
 def transcript_table_rule():
     """The F1 rule document: every constraint from FIXTURES.md F1 expressed in
     the reference's keyword vocabulary (SURVEY.md §2.1)."""

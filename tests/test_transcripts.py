@@ -121,6 +121,21 @@ def test_per_turn_text_equality(transcripts):
     assert spark_rows == [tuple(r) for r in duck_rows]
 
 
+def test_verdicts_match_duckdb(transcripts):
+    """The flagship gate's shape: per-conversation verdicts vs
+    oracle.verdict_sql over the SAME staged parquet (the driver's
+    transcript_validation CORRECTNESS row runs exactly this comparison)."""
+    from jsonschema_go_spark.oracle import verdict_sql
+
+    df, duck = transcripts
+    tr = transcript_table_rule()
+    plan = compile_table(tr, df.schema)
+    sql = verdict_sql(tr, "transcripts", "conv_id", ELEM_TYPES)
+    assert_matches_oracle(plan.verdicts(df, "conv_id"), duck, sql)
+    # injected violations must fail some conversations
+    assert plan.verdicts(df, "conv_id").where(~F.col("passed")).count() > 0
+
+
 def test_uniqueness_matches_duckdb(transcripts):
     df, duck = transcripts
     assert_matches_oracle(
