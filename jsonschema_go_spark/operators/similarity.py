@@ -104,25 +104,31 @@ def embedding_near_dup_pairs(
     sample_mod: Optional[int] = None,
 ) -> DataFrame:
     """EXACT embedding near-duplicates: pairs with cosine ≥ threshold →
-    ``(id_a, id_b, cos)``. ``sample_mod`` restricts the left side to
-    ``id % sample_mod == 0`` (audit-sampling pattern for bounded cost).
+    ``(id_a, id_b, cos)``. ``sample_mod`` restricts BOTH sides to the
+    deterministic ``id % sample_mod == 0`` corpus sample — the audit
+    semantics: estimate the near-dup rate from all pairs *within* a
+    1/sample_mod sample, cost O((N/mod)²) instead of O(N²). (The earlier
+    left-side-only sampling still compared the sample against the FULL
+    corpus — an unbounded O(N²/mod) cartesian behind a gated query name.)
 
-    This is the oracle/audit path: cost is inherently O(|a| × N) compares.
-    No broadcast hint — Catalyst plans a partitioned cartesian product, so
-    neither side must fit in executor memory (the former ``F.broadcast(a)``
-    shipped an O(N) slice to every executor — OOM at 100 TB). For the scale
-    path use :func:`lsh_near_dup_pairs` (banded candidates, exact verify).
+    This is the oracle/audit path: with ``sample_mod=None`` it is the full
+    all-pairs compare — DO NOT run that form at scale; it exists as the
+    ground truth the banded path is verified against. No broadcast hint —
+    Catalyst plans a partitioned cartesian product, so neither side must fit
+    in executor memory. For the full-corpus scale path use
+    :func:`lsh_near_dup_pairs` (banded candidates, exact verify).
     """
     # norms once per vector (not per pair): each pair costs ONE fold (the
     # dot), not three — same floating-point value, 2.5× fewer interpreted ops
-    a = df.select(
+    base = df
+    if sample_mod:
+        base = base.where(F.col(id_col) % sample_mod == 0)
+    a = base.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
         norm(F.col(vec_col)).alias("_na"),
     )
-    if sample_mod:
-        a = a.where(F.col("id_a") % sample_mod == 0)
-    b = df.select(
+    b = base.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
         norm(F.col(vec_col)).alias("_nb"),

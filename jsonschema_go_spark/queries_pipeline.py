@@ -495,9 +495,14 @@ _register("ann_recall_clustered", q_ann_recall_clustered, None)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup AUDIT: all pairs within a deterministic 1/4 corpus
+    sample (both sides sampled — the gated plan's cartesian is over the
+    bounded sample, never sample × full-corpus). The full-corpus path is
+    `embedding_neardup_lsh`; the unbounded all-pairs form exists only as
+    that query's DuckDB oracle."""
     df = _read(spark, sf_dir, "embeddings")
     return sim.embedding_near_dup_pairs(
-        df, "vec_id", "embedding", threshold=0.3, sample_mod=10
+        df, "vec_id", "embedding", threshold=0.3, sample_mod=4
     )
 
 
@@ -505,10 +510,11 @@ _register(
     "embedding_neardup",
     q_embedding_neardup,
     f"""
-    WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+    a AS (SELECT vec_id AS id_a, embedding AS qv FROM s),
     scored AS (
       SELECT a.id_a, c.vec_id AS id_b, {_COS.replace("q.qv", "a.qv").replace("query_id", "id_a")} AS cos
-      FROM a CROSS JOIN embeddings c WHERE a.id_a < c.vec_id
+      FROM a JOIN s c ON a.id_a < c.vec_id
     )
     SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3
     """,

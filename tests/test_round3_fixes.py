@@ -134,6 +134,24 @@ def test_lsh_near_dup_pairs_tolerates_null_vectors(spark):
     assert {(r["id_a"], r["id_b"]) for r in exact.collect()} == pairs
 
 
+def test_exact_neardup_samples_both_sides(spark):
+    """The audit path's cartesian must be bounded: BOTH sides restricted to
+    the deterministic sample (no gated query ships a sample × full-corpus
+    cartesian)."""
+    from jsonschema_go_spark.operators import similarity as sim
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = sim.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.0, sample_mod=4
+    )
+    rows = out.collect()
+    assert rows, "sampled audit produced no pairs at threshold 0"
+    assert all(r["id_a"] % 4 == 0 and r["id_b"] % 4 == 0 for r in rows)
+    # the physical plan filters both join inputs before the cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("% 4) = 0") >= 2
+
+
 # --------------------------------------- 4. streaming non-string conv keys
 
 def test_stateful_contiguity_long_keys(spark, tmp_path):
