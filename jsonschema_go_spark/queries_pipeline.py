@@ -261,6 +261,69 @@ _register(
 )
 
 
+def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution — the pairs→corpus link: MinHash-LSH
+    candidate pairs over a dup-injected corpus (two shifted copy generations,
+    so clusters reach size 3) resolved into components via iterative
+    large-star/small-star, with deterministic min-id survivors. The oracle is
+    a DuckDB recursive CTE computing the transitive closure over the SAME
+    pair SQL."""
+    base = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = base.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    c2 = base.where(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(2_000_000)
+    )
+    corpus = base.unionByName(c1).unionByName(c2)
+    pairs = dd.lsh_candidate_pairs(
+        corpus, "doc_id", "text", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    return (
+        dd.duplicate_clusters(pairs)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_CLUSTER_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0 "
+    "UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0"
+)
+
+_register(
+    "dedup_clusters_documents",
+    q_dedup_clusters_documents,
+    f"""
+    WITH RECURSIVE corpus AS ({_CLUSTER_CORPUS_SQL}),
+    w AS (SELECT doc_id, string_split({NORM.format(c="text")}, ' ') AS words
+          FROM corpus WHERE text IS NOT NULL),
+    base AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    nonempty AS (SELECT doc_id, shingles FROM base WHERE len(shingles) > 0),
+    sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM nonempty),
+    mh AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+    banded AS ({_band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT node AS doc_id,
+           least(node, MIN(r)) AS cluster_id,
+           (least(node, MIN(r)) = node) AS is_survivor
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+
+
 def q_dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
     return dd.simhash64(df, "doc_id", "text").orderBy("doc_id")

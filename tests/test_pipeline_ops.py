@@ -250,3 +250,80 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert len(by_asset[2]) == 1  # 1-byte payload → short clip, 1 frame
     # doc 3 has empty payload (None text → ''): zero frames
     assert 3 not in by_asset
+
+
+# ------------------------------------------------- connected components
+
+def _union_find(edges):
+    """Reference union-find for CC oracle checks."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_check(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["node"], r["component"])
+        for r in dd.connected_components(pairs).collect()
+    }
+    want = set(_union_find(edges).items())
+    assert got == want
+
+
+def test_connected_components_chain(spark):
+    """A 50-node chain: worst case for naive label propagation (diameter 50);
+    large-star/small-star must converge in O(log n) rounds within max_iter."""
+    _cc_check(spark, [(i, i + 1) for i in range(50)])
+
+
+def test_connected_components_mixed_graph(spark):
+    edges = (
+        [(0, 1), (1, 2), (2, 0)]          # triangle
+        + [(10, 11)]                        # isolated pair
+        + [(20, 21), (21, 22), (23, 22)]    # path with reversed edge
+        + [(30, 31), (31, 30), (30, 30)]    # dup + self-loop noise
+    )
+    _cc_check(spark, edges)
+
+
+def test_connected_components_hash_random(spark):
+    """Deterministic pseudo-random graph vs union-find ground truth."""
+    edges = []
+    for i in range(200):
+        h = int(hashlib.md5(f"e{i}".encode()).hexdigest(), 16)
+        edges.append((h % 97, (h // 97) % 97))
+    edges = [(a, b) for a, b in edges if a != b]
+    _cc_check(spark, edges)
+
+
+def test_duplicate_clusters_and_keep_list(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], "id_a long, id_b long"
+    )
+    clusters = {
+        r["node"]: (r["cluster_id"], r["is_survivor"])
+        for r in dd.duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {
+        0: (0, True), 3: (0, False), 5: (0, False),
+        6: (6, True), 7: (6, False),
+    }
+    kept = sorted(
+        r["doc_id"] for r in dd.dedup_keep_list(df, "doc_id", pairs).collect()
+    )
+    assert kept == [0, 1, 2, 4, 6]  # survivors + singletons; 3,5,7 dropped
