@@ -232,24 +232,81 @@ def lsh_near_dup_pairs(
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    via: str = "join",
+) -> DataFrame:
+    """Nearest-centroid (cosine) assignment → ``(id_col, _cell)`` (0-based).
+
+    ``via="literal"`` embeds the k×dim centroid matrix as ONE plan literal
+    and argmaxes with higher-order functions — zero joins, but the literal
+    size and the interpreted k×dim FLOPs/row scale with k: the small-k path
+    (k ≲ 64). ``via="join"`` broadcasts a centroid TABLE and argmaxes with a
+    ``max(struct)`` aggregate (map-side partial, no window sort) — the
+    large-k path (the 10⁴–10⁵ cells a 100 TB IVF wants). Identical float
+    folds and identical tie-break (lowest cell wins) ⇒ identical assignments
+    (pytest-asserted at k=256).
+    """
+    cents = [[float(x) for x in c] for c in centroids]
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).select(id_col, "_v", norm(F.col("_v")).alias("_vn"))  # norm hoisted once
+    if via == "literal":
+        cl = F.lit(cents)
+        # zero-norm guard: a zero vector (or zero centroid) gets similarity
+        # -1 instead of a divide-by-zero (ANSI mode aborts the job on x/0)
+        sims = F.transform(
+            cl,
+            lambda p: _safe_ratio(dot(F.col("_v"), p), F.col("_vn"), norm(p)),
+        )
+        return vecs.select(
+            F.col(id_col),
+            (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("_cell"),
+        )
+    cdf = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "_cell int, _cent array<double>"
+    ).withColumn("_cn", norm(F.col("_cent")))
+    scored = vecs.crossJoin(F.broadcast(cdf)).select(
+        F.col(id_col),
+        F.col("_cell"),
+        _safe_ratio(dot(F.col("_v"), F.col("_cent")), F.col("_vn"), F.col("_cn")).alias("_sim"),
+    )
+    # argmax via max(struct(sim, -cell)): same (max sim, lowest cell) winner
+    # as array_position-of-array_max on the literal path
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("_sim").alias("s"), (-F.col("_cell")).alias("nc"))).alias("_b"))
+        .select(F.col(id_col), (-F.col("_b.nc")).cast("int").alias("_cell"))
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 16,
     iters: int = 5,
+    assign: str = "auto",
 ) -> list:
     """Lloyd k-means centroids (cosine assignment, mean update) → a k×dim
     Python list for :func:`ivf_index`'s ``centroids`` parameter.
 
     Deterministic init: the k lowest-id vectors (same as the IVF default).
-    Each iteration is ONE distributed pass (assignment via a broadcast
-    centroid literal, update via posexplode + per-(cell, dim) mean); only the
-    k×dim centroid matrix ever reaches the driver. Empty cells keep their
-    previous centroid. float mean is aggregation-order sensitive at the ulp
-    level — consumers must not rely on bit-exact centroids across cluster
-    layouts (cell ASSIGNMENT ties are broken by cell index, which is stable).
+    Each iteration is one assignment pass + one per-(cell, dim) mean; only
+    the k×dim centroid matrix ever reaches the driver. ``assign`` picks the
+    :func:`assign_cells` strategy: ``"auto"`` uses the plan-literal argmax up
+    to k=64 and the broadcast-join argmax beyond (the literal path's plan
+    size and per-row FLOPs grow with k — see :func:`assign_cells`). Empty
+    cells keep their previous centroid. float mean is aggregation-order
+    sensitive at the ulp level — consumers must not rely on bit-exact
+    centroids across cluster layouts (cell ASSIGNMENT ties are broken by
+    cell index, which is stable).
     """
+    mode = assign if assign != "auto" else ("literal" if k <= 64 else "join")
     init = (
         df.orderBy(id_col)
         .limit(k)
@@ -258,19 +315,14 @@ def kmeans_centroids(
     )
     cents = [list(r["v"]) for r in init]
     vecs = df.select(
+        F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).select("_v", norm(F.col("_v")).alias("_vn"))  # row norm hoisted once
+    )
     for _ in range(iters):
-        cl = F.lit(cents)
-        # zero-norm guard: a zero vector (or zero centroid) gets similarity
-        # -1 instead of a divide-by-zero (ANSI mode aborts the job on x/0)
-        sims = F.transform(
-            cl,
-            lambda p: _safe_ratio(dot(F.col("_v"), p), F.col("_vn"), norm(p)),
-        )
-        cell = (F.array_position(sims, F.array_max(sims)) - 1).alias("_cell")
+        assigned = assign_cells(df, id_col, vec_col, cents, via=mode)
         means = (
-            vecs.select(cell, F.posexplode("_v").alias("_pos", "_x"))
+            assigned.join(vecs, id_col)
+            .select("_cell", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("_cell", "_pos")
             .agg(F.avg("_x").alias("_m"))
             .collect()

@@ -327,3 +327,42 @@ def test_duplicate_clusters_and_keep_list(spark):
         r["doc_id"] for r in dd.dedup_keep_list(df, "doc_id", pairs).collect()
     )
     assert kept == [0, 1, 2, 4, 6]  # survivors + singletons; 3,5,7 dropped
+
+
+# --------------------------------------------- k-means large-k assignment
+
+def test_assign_cells_join_matches_literal_k256(spark):
+    """The broadcast-join argmax (large-k path) must produce the SAME cell
+    assignment as the plan-literal argmax for identical centroids — k=256 is
+    past the literal path's documented ceiling (auto switches at 64)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        [
+            (int(hashlib.md5(f"{c}:{j}".encode()).hexdigest(), 16) % 2001 - 1000)
+            / 1000.0
+            for j in range(64)
+        ]
+        for c in range(256)
+    ]
+    lit = {
+        r["vec_id"]: r["_cell"]
+        for r in sim.assign_cells(df, "vec_id", "embedding", cents, via="literal").collect()
+    }
+    join = {
+        r["vec_id"]: r["_cell"]
+        for r in sim.assign_cells(df, "vec_id", "embedding", cents, via="join").collect()
+    }
+    assert len(lit) == 500
+    assert lit == join
+
+
+def test_kmeans_join_mode_matches_literal(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    a = sim.kmeans_centroids(df, "vec_id", "embedding", k=8, iters=2, assign="literal")
+    b = sim.kmeans_centroids(df, "vec_id", "embedding", k=8, iters=2, assign="join")
+    assert len(a) == len(b) == 8
+    for ca, cb in zip(a, b):
+        for x, y in zip(ca, cb):
+            assert abs(x - y) < 1e-9  # same assignments; means ulp-comparable
