@@ -42,7 +42,17 @@ def bucket_expr(key_col: str, num_buckets: int) -> F.Column:
 
 @dataclass
 class LineageLog:
+    """Lineage appender. ``autoflush=True`` (default) appends one row per
+    :meth:`record` — maximal durability, but at 4096 buckets × stages that is
+    a 1-row-file-per-record pattern (an object-store small-file nuisance).
+    ``autoflush=False`` buffers records and appends them in batches via
+    :meth:`flush` — CheckpointedRun uses this with periodic + final flushes;
+    an unflushed record merely means that bucket re-processes idempotently
+    on resume."""
+
     io: TableIO
+    autoflush: bool = True
+    _buffer: List[Row] = field(default_factory=list)
 
     def completed_buckets(self, run_id: str, stage: str) -> List[int]:
         if not self.io.exists(LINEAGE_TABLE):
@@ -72,22 +82,28 @@ class LineageLog:
     ) -> None:
         import datetime
 
-        df = self.io.spark.createDataFrame(
-            [
-                Row(
-                    run_id=run_id,
-                    stage=stage,
-                    bucket=int(bucket),
-                    status=status,
-                    rows=int(rows),
-                    violations=int(violations),
-                    wall_sec=float(wall_sec),
-                    finished_at=datetime.datetime.now(),
-                )
-            ],
-            LINEAGE_SCHEMA,
+        self._buffer.append(
+            Row(
+                run_id=run_id,
+                stage=stage,
+                bucket=int(bucket),
+                status=status,
+                rows=int(rows),
+                violations=int(violations),
+                wall_sec=float(wall_sec),
+                finished_at=datetime.datetime.now(),
+            )
         )
+        if self.autoflush:
+            self.flush()
+
+    def flush(self) -> None:
+        """Append all buffered records in ONE write (no-op when empty)."""
+        if not self._buffer:
+            return
+        df = self.io.spark.createDataFrame(self._buffer, LINEAGE_SCHEMA)
         self.io.append(df, LINEAGE_TABLE)
+        self._buffer = []
 
 
 @dataclass
@@ -108,6 +124,10 @@ class CheckpointedRun:
     #: Spark storage buckets on key_col WITHIN each _bucket partition —
     #: makes every per-key aggregate over the staged data exchange-free
     sub_buckets: int = 8
+    #: lineage records per batched append (bounds both small-file count and
+    #: the re-work window: ≤ flush_every-1 completed-but-unflushed buckets
+    #: re-process idempotently after a hard crash)
+    lineage_flush_every: int = 8
 
     @property
     def _safe_run_id(self) -> str:
@@ -216,10 +236,26 @@ class CheckpointedRun:
         quality_checks: bool = False,
         order_col: str = "turn_idx",
     ) -> dict:
-        log = LineageLog(self.io)
+        log = LineageLog(self.io, autoflush=False)
         done = set(log.completed_buckets(self.run_id, stage)) if resume else set()
         staged = self._stage_input(df, resume)
         processed, skipped = [], []
+        try:
+            self._run_buckets(
+                staged, plan, log, done, processed, skipped, keys, stage,
+                fail_on_bucket, fail_before_record, quality_checks, order_col,
+            )
+        finally:
+            # batch-flush lineage: every flush_every buckets inside the loop,
+            # once here for the tail — and on a CRASH this persists the
+            # completed-but-unflushed buckets, so resume still skips them
+            log.flush()
+        return {"processed": processed, "skipped": skipped}
+
+    def _run_buckets(
+        self, staged, plan, log, done, processed, skipped, keys, stage,
+        fail_on_bucket, fail_before_record, quality_checks, order_col,
+    ) -> None:
         for b in range(self.num_buckets):
             if b in done:
                 skipped.append(b)
@@ -282,5 +318,6 @@ class CheckpointedRun:
             log.record(
                 self.run_id, stage, b, n_rows, n_viol, time.perf_counter() - t0
             )
+            if len(log._buffer) >= self.lineage_flush_every:
+                log.flush()
             processed.append(b)
-        return {"processed": processed, "skipped": skipped}

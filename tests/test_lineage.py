@@ -197,3 +197,24 @@ def test_auto_buckets_from_input_bytes(spark):
     assert 4 <= n <= 4096  # small input → floor of 4
     assert _auto_buckets(spark, None) == 16
     assert _auto_buckets(spark, "/no/such/path") == 16  # graceful fallback
+
+
+def test_lineage_appends_are_batched(env):
+    """4 buckets, flush_every=8 → ONE lineage append for the whole run (the
+    1-row-file-per-bucket pattern is gone); crash-resume behavior unchanged
+    (test_crash_then_resume) because the finally-flush persists completed
+    buckets."""
+    spark, df, plan, io = env
+    appends = []
+    orig = io.append
+
+    def counting_append(d, name, partition_by=None):
+        appends.append(name)
+        return orig(d, name, partition_by)
+
+    io.append = counting_append
+    CheckpointedRun(io, "r8", num_buckets=4).run(df, plan)
+    io.append = orig
+    assert appends.count("lineage") == 1
+    lin = io.read("lineage").where(F.col("run_id") == "r8")
+    assert lin.count() == 4  # all four records in the one batch
