@@ -242,16 +242,43 @@ def chi_square(
     obs = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(group_col, value_col)
-        .agg(F.count(F.lit(1)).alias("o"))
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
     )
-    row_tot = obs.groupBy(group_col).agg(F.sum("o").alias("rt"))
-    col_tot = obs.groupBy(value_col).agg(F.sum("o").alias("ct"))
-    n = obs.agg(F.sum("o").alias("n"))
+    return chi_square_from_counts(obs, group_col, value_col, "o")
 
+
+def chi_square_from_counts(
+    counts: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Chi-square from PRE-AGGREGATED ``(group, value, count)`` rows — the
+    entry point for counts that already exist, e.g. the windowed per-value
+    counts a streaming drift monitor maintains
+    (:func:`streaming.validate_stream.windowed_category_counts`): the
+    statistic then costs only tiny aggregations over the count table, never a
+    second pass over the data."""
+    obs = (
+        counts.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.sum(F.col(count_col).cast("double")).alias("o"))
+    )
+    # marginals via windows over the COUNT table — it has only
+    # n_groups × n_values rows (tiny by the definition of categorical drift),
+    # so even the unpartitioned total window is trivial, and the plan needs
+    # no self-joins (three joins on the same subtree also trip Spark's
+    # conflicting-reference dedup on some leaf nodes, e.g. streaming memory
+    # sinks)
     cells = (
-        obs.join(F.broadcast(row_tot), group_col)
-        .join(F.broadcast(col_tot), value_col)
-        .crossJoin(F.broadcast(n))
+        obs.select(
+            F.col(group_col),
+            F.col(value_col),
+            "o",
+            F.sum("o").over(Window.partitionBy(group_col)).alias("rt"),
+            F.sum("o").over(Window.partitionBy(value_col)).alias("ct"),
+            F.sum("o").over(Window.partitionBy()).alias("n"),
+        )
         .withColumn("e", F.col("rt") * F.col("ct") / F.col("n"))
         .withColumn("term", F.pow(F.col("o") - F.col("e"), 2) / F.col("e"))
     )

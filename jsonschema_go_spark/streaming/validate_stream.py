@@ -78,6 +78,32 @@ def windowed_violation_counts(
     )
 
 
+def windowed_category_counts(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming drift, counting half: per-(event-time window, value) counts
+    of a categorical column → ``(window_start, value_col, n)``.
+
+    Feed the materialized counts into
+    :func:`operators.drift.chi_square_from_counts` with
+    ``group_col="window_start"`` for the cross-window chi-square — the
+    statistic runs over the tiny count table, so the streaming job only ever
+    maintains windowed counters (bounded state via the watermark), never raw
+    rows. pytest-matched against the batch :func:`operators.drift.chi_square`
+    on the same data (tests/test_streaming.py)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(value_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), F.col(value_col), F.col("n"))
+    )
+
+
 def stateful_contiguity_stream(
     stream: DataFrame,
     conv_col: str = "conv_id",

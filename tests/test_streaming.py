@@ -114,3 +114,37 @@ def test_stateful_contiguity_stream(stream_env):
     j = got.join(want.withColumnRenamed("contiguous", "want_c"), "conv_id")
     assert j.where(F.col("contiguous") != F.col("want_c")).count() == 0
     assert got.where(~F.col("contiguous")).count() == want.where(~F.col("contiguous")).count()
+
+
+def test_windowed_drift_matches_batch(stream_env):
+    """5th streaming mode — windowed drift: stream maintains per-(window,
+    role) counts; chi_square_from_counts over those counts must equal the
+    batch chi_square over the same data windowed the same way."""
+    from jsonschema_go_spark.operators.drift import (
+        chi_square,
+        chi_square_from_counts,
+    )
+    from jsonschema_go_spark.streaming.validate_stream import (
+        windowed_category_counts,
+    )
+
+    spark, batch, stream, plan, root = stream_env
+    _run(
+        windowed_category_counts(stream, "role", window="6 hours"),
+        "complete", root, "wdrift",
+    )
+    counts = spark.sql("SELECT * FROM wdrift")
+    got = chi_square_from_counts(counts, "window_start", "role", "n").first()
+
+    # epoch-aligned tumbling windows: start = floor(unix/21600)*21600,
+    # identical to F.window("ts", "6 hours").start
+    batch_windowed = batch.withColumn(
+        "window_start",
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.col("ts").cast("timestamp")) / 21600).cast("long") * 21600
+        ).cast(batch.schema["ts"].dataType),
+    )
+    want = chi_square(batch_windowed, "window_start", "role").first()
+    assert got["n"] == want["n"] and got["dof"] == want["dof"]
+    assert got["n_groups"] == want["n_groups"] and got["n_values"] == want["n_values"]
+    assert abs(got["chi2"] - want["chi2"]) < 1e-6 * max(1.0, want["chi2"])
