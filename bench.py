@@ -38,6 +38,23 @@ def run_noop(df):
     return df.write.format("noop").mode("overwrite").save()
 
 
+#: the round-1 query set — a STABLE subtotal (`headline25_sec`) so
+#: cross-round comparisons don't need manual subset arithmetic as the full
+#: timed suite keeps growing
+HEADLINE25 = [
+    "ann_topk_embeddings", "chi_square_events", "col_stats_events",
+    "contiguity_lineitem", "dedup_exact_documents", "dedup_jaccard_documents",
+    "dedup_minhash_documents", "dedup_simhash_documents", "embedding_neardup",
+    "key_histogram_orders", "ks_events", "kw_array_embeddings",
+    "kw_composition_orders", "kw_format_events", "kw_numeric_lineitem",
+    "kw_string_documents", "length_histogram_documents",
+    "monotonic_shipdate_lineitem", "multimodal_features",
+    "text_fingerprint_documents", "text_langid_documents",
+    "text_quality_documents", "transcript_validation", "uniqueness_lineitem",
+    "validate_events",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -88,12 +105,14 @@ def main() -> None:
     tdf.unpersist()
 
     total = round(sum(timings.values()), 4)
+    headline25 = round(sum(timings.get(q, 0.0) for q in HEADLINE25), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "headline25_sec": headline25,
                 "queries": timings,
                 "sf": sf,
                 "turns_per_sec": turns_per_sec,

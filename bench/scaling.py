@@ -19,8 +19,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# the script lives in bench/ — put the repo root on sys.path so running it
+# directly (python bench/scaling.py ...) finds the package without PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _session(cpus: int, shuffle_partitions: int):

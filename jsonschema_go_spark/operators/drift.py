@@ -402,3 +402,75 @@ def ks_binned(
         F.first("nb").cast("long").alias("n_b"),
         F.lit(buckets).cast("long").alias("buckets"),
     )
+
+
+def psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    eps: float = 1e-6,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric column
+    → one row ``(psi, n_a, n_b, buckets)``.
+
+    PSI = Σ_bins (p_a − p_b) · ln(p_a / p_b) over ``buckets`` equal-width
+    bins spanning the combined [min, max] (identical binning to
+    :func:`ks_binned`); empty-bin proportions are floored at ``eps`` — the
+    standard PSI guard, applied identically in the DuckDB oracle. Rule of
+    thumb: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 drifted.
+
+    Same 100 TB shape as :func:`ks_binned`: one bounds agg + one binned
+    hash-agg per side; the statistic reduces ≤ ``buckets`` rows.
+    """
+    va = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        bounds_a = df_a.agg(F.min(va).alias("mn"), F.max(va).alias("mx")).first()
+        bounds_b = df_b.agg(F.min(va).alias("mn"), F.max(va).alias("mx")).first()
+        mns = [x for x in (bounds_a["mn"], bounds_b["mn"]) if x is not None]
+        mxs = [x for x in (bounds_a["mx"], bounds_b["mx"]) if x is not None]
+        if not mns:
+            return df_a.sparkSession.createDataFrame(
+                [(None, 0, 0, buckets)],
+                "psi double, n_a long, n_b long, buckets long",
+            )
+        lo, hi = min(mns), max(mxs)
+    span = (hi - lo) or 1.0
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(span) * buckets),
+                F.lit(0),
+            ),
+            F.lit(buckets - 1),
+        ).cast("int")
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    merged = binned(df_a, "ca").join(binned(df_b, "cb"), "bin", "full_outer").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = merged.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    cells = merged.crossJoin(F.broadcast(tot))
+    pa = F.greatest(F.col("ca") / F.col("na"), F.lit(eps))
+    pb = F.greatest(F.col("cb") / F.col("nb"), F.lit(eps))
+    # null-safe: a zero-row snapshot has no distribution (and x/0 aborts
+    # under ANSI) — report psi NULL instead of killing the job (same guard
+    # pattern as ks_exact/ks_binned)
+    term = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(None)
+    ).otherwise((pa - pb) * F.log(pa / pb))
+    return cells.agg(
+        F.sum(term).alias("psi"),
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"),
+        F.lit(buckets).cast("long").alias("buckets"),
+    )

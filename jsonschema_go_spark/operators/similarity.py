@@ -453,6 +453,94 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_cells: int = 16,
+    centroids: Optional[list] = None,
+) -> None:
+    """Materialize the IVF index to storage, PARTITIONED BY CELL — the 100 TB
+    layout where a probe-limited query physically reads only the probed cell
+    directories (parquet partition pruning; unprobed cells are never opened).
+
+    The centroid table is co-written under ``_centroids/`` (the leading
+    underscore hides it from the index scan, like ``_SUCCESS``), so a reader
+    needs only the path.
+    """
+    cents = _cents_df(df, id_col, vec_col, n_cells, centroids)
+    ivf_index(df, id_col, vec_col, n_cells, centroids).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k over a STORED IVF index (see :func:`write_ivf_index`):
+    resolve each query's ``n_probe`` nearest cells against the co-stored
+    centroids, then scan ONLY those cell partitions → ``(query_id,
+    neighbor_id, rank, cos)``. Matches :func:`ivf_topk` exactly for the same
+    centroid layout (pytest-asserted, including the pruned-scan plan).
+
+    The probed-cell list is collected to the driver first — it is ≤
+    ``len(query_ids) × n_probe`` ints, and turning it into a literal ``IN``
+    predicate is precisely what lets the scan prune at the STORAGE level
+    instead of filtering after reading everything.
+    """
+    index = spark.read.parquet(path)
+    cents = spark.read.parquet(f"{path}/_centroids")
+    q = index.where(F.col(id_col).isin(*list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "_qv", "_qn", "cell",
+            cosine(F.col("_qv"), F.col("_cent")).alias("_sim"),
+        )
+        .withColumn("_rk", F.row_number().over(wq))
+        .where(F.col("_rk") <= n_probe)
+        .select("query_id", "_qv", "_qn", "cell")
+    )
+    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    pruned = index.where(F.col("cell").isin(cells)).withColumn(
+        "_in", norm(F.col(vec_col))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(pruned, "cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                _safe_ratio(dot(F.col("_qv"), F.col(vec_col)), F.col("_qn"), F.col("_in")), 6
+            ).alias("cos"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def _plane_sign(p: int, j: int, seed: int) -> float:
     """±1 for plane p, component j — md5-derived: deterministic across runs,
     processes, and engines; no RNG state."""

@@ -460,6 +460,53 @@ _register(
 )
 
 
+def q_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of `value` between two deterministic
+    snapshots (10 equal-width bins, eps-floored proportions — the standard
+    training-data drift gate alongside KS/chi-square)."""
+    ev = _read(spark, sf_dir, "events")
+    a = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    out = drift_ops.psi(a, b, "value", buckets=10)
+    return out.select(F.round("psi", 6).alias("psi"), "n_a", "n_b", "buckets")
+
+
+_register(
+    "psi_events",
+    q_psi_events,
+    """
+    WITH vals AS (
+      SELECT event_id % 2 AS grp, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL
+    ),
+    bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
+    binned AS (
+      SELECT grp,
+             CAST(least(greatest(floor((v - lo) / (CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END) * 10), 0), 9) AS INT) AS bin,
+             COUNT(*)::DOUBLE AS c
+      FROM vals CROSS JOIN bounds GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT bin,
+             SUM(CASE WHEN grp = 0 THEN c ELSE 0 END) AS ca,
+             SUM(CASE WHEN grp = 1 THEN c ELSE 0 END) AS cb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM m),
+    cells AS (
+      SELECT greatest(ca / tot.na, 1e-6) AS pa,
+             greatest(cb / tot.nb, 1e-6) AS pb
+      FROM m CROSS JOIN tot
+    )
+    SELECT round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
+           (SELECT na::BIGINT FROM tot) AS n_a,
+           (SELECT nb::BIGINT FROM tot) AS n_b,
+           10::BIGINT AS buckets
+    FROM cells
+    """,
+)
+
+
 # --- positional tuple items over a derived variable-length array ------------
 TUPLE_RULE = TableRule(
     name="derived",

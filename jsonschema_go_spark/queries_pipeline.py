@@ -680,12 +680,17 @@ def q_transcript_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``/root/reference/entities.go:620`` SchemaOrBool verdict analog per
     SURVEY §2.3). The DuckDB oracle reads the SAME staged parquet and
     recomputes the verdicts from the same rule document via
-    :func:`oracle.verdict_sql`."""
+    :func:`oracle.verdict_sql`.
+
+    The staged scale is PINNED to sf0.01 (the driver's correctness scale)
+    regardless of ``sf_dir``: the oracle is a static SQL string referencing
+    one path, so both engines must see the same table at any harness scale.
+    Throughput at the bench scale is measured separately in ``bench.py``
+    (generate → flags/violations/verdicts at the sf-matched volume)."""
     from .compile import compile_table
     from .sources.transcripts import stage_transcripts, transcript_table_rule
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    df = spark.read.parquet(stage_transcripts(spark, sf))
+    df = spark.read.parquet(stage_transcripts(spark, "0.01"))
     plan = compile_table(transcript_table_rule(), df.schema)
     return plan.verdicts(df, "conv_id").orderBy("partition_key")
 

@@ -200,3 +200,35 @@ def test_drift_report_grouped_all_null_column(spark):
         a, empty_b, numeric=["v"], ks_buckets=16
     ).collect()}
     assert out2["v"]["statistic"] is None
+
+
+def test_psi_known_value(spark):
+    """Hand-computed PSI: a = 80/20 split, b = 50/50 split over two bins →
+    0.3·ln(1.6) + (−0.3)·ln(0.4) ≈ 0.415888."""
+    from jsonschema_go_spark.operators.drift import psi
+
+    a = spark.createDataFrame([(0.0,)] * 8 + [(1.0,)] * 2, "v double")
+    b = spark.createDataFrame([(0.0,)] * 5 + [(1.0,)] * 5, "v double")
+    row = psi(a, b, "v", buckets=10).first()
+    import math
+
+    want = 0.3 * math.log(0.8 / 0.5) - 0.3 * math.log(0.2 / 0.5)
+    assert abs(row["psi"] - want) < 1e-9
+    assert row["n_a"] == 10 and row["n_b"] == 10 and row["buckets"] == 10
+
+
+def test_psi_identical_snapshots_zero(spark):
+    from jsonschema_go_spark.operators.drift import psi
+
+    df = spark.range(100).select((F.col("id") % 7).cast("double").alias("v"))
+    row = psi(df, df, "v").first()
+    assert abs(row["psi"]) < 1e-12
+
+
+def test_psi_empty_side_is_null(spark):
+    from jsonschema_go_spark.operators.drift import psi
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = a.where(F.col("v") < 0)
+    row = psi(a, b, "v").first()
+    assert row["psi"] is None and row["n_b"] == 0

@@ -366,3 +366,36 @@ def test_kmeans_join_mode_matches_literal(spark):
     for ca, cb in zip(a, b):
         for x, y in zip(ca, cb):
             assert abs(x - y) < 1e-9  # same assignments; means ulp-comparable
+
+
+# ------------------------------------------------ stored IVF index pruning
+
+def test_stored_ivf_matches_in_memory_and_prunes(spark, tmp_path):
+    """write_ivf_index + ivf_topk_stored: results equal the in-memory ivf_topk
+    for the same centroid layout, AND the scoring scan is partition-pruned to
+    the probed cells (the plan carries a cell IN (...) PartitionFilter)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    qids = [0, 100, 200]
+    sim.write_ivf_index(df, "vec_id", "embedding", path, n_cells=8)
+
+    got = sim.ivf_topk_stored(spark, path, "vec_id", "embedding", qids, k=5, n_probe=2)
+    want = sim.ivf_topk(df, "vec_id", "embedding", qids, k=5, n_cells=8, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # plan-level pruning evidence: the index scan filters on the partition
+    # column, so unprobed cell directories are never read
+    index = spark.read.parquet(path)
+    probe_cells = [1, 3]
+    pruned = index.where(F.col("cell").isin(probe_cells))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the files ACTUALLY read (runtime truth) are only the probed cells'
+    read_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    all_files = {
+        r[0] for r in index.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_files < all_files
+    assert all(any(f"cell={c}/" in f for c in probe_cells) for f in read_files)
