@@ -618,6 +618,20 @@ _EXPECTED_FMT = {
 }
 
 
+def expected_annotation(rule: RuleOrBool, keyword: str) -> str:
+    """The ``expected`` string a :class:`CompiledCheck` carries for this
+    keyword — pure Python (no Column construction, no SparkContext), so
+    :func:`oracle.violations_sql` can mirror violation rows byte-for-byte at
+    import time. COLUMN-level presence checks (``keyword="required"`` on a
+    table-required column) carry ``"non-null"``; the object-keyword
+    ``required`` of a map/struct rule carries the list form."""
+    if keyword == "column-required":
+        return "non-null"
+    if rule is False:
+        return "always-fail schema"
+    return _EXPECTED_FMT[keyword](rule)
+
+
 def compile_column(
     name: str,
     rule: RuleOrBool,

@@ -443,6 +443,49 @@ def summary_sql(
     return " UNION ALL ".join(parts)
 
 
+def violations_sql(
+    table_rule: TableRule,
+    table: str,
+    keys: List[str],
+    elem_types: Optional[dict] = None,
+) -> str:
+    """Oracle for ``ValidationPlan.violations``: one row per failed
+    (row, check) — ``(keys..., rule_id, column, keyword, observed,
+    expected)``. The north-rule's literal "materialized violation rows
+    byte-match under stable ordering" gate.
+
+    Predicates come from :func:`check_preds_sql` (same list, same rule_ids as
+    the compiled plan — summary-parity-tested); ``expected`` annotations come
+    from :func:`compile.expected_annotation` (the same pure-Python table the
+    CompiledChecks read), so both engines materialize identical rows by
+    construction. A column that is BOTH table-required and an object rule
+    with its own ``required`` keyword would collide on one rule_id — refused
+    here (no driver table has that shape; compile.py keeps them as separate
+    checks).
+    """
+    from .compile import expected_annotation
+
+    required = set(table_rule.metadata.get("required", []))
+    selects = check_preds_sql(table_rule, elem_types)
+    if len({rid for rid, _ in selects}) != len(selects):
+        raise ValueError("rule_id collision: required column with object-required rule")
+    keys_sql = ", ".join(keys)
+    parts = []
+    for rid, p in selects:
+        col, kw = rid.rsplit(".", 1)
+        rule = table_rule.columns.get(col, True)
+        if kw == "required" and col in required:
+            expected = expected_annotation(rule, "column-required")
+        else:
+            expected = expected_annotation(rule, kw)
+        parts.append(
+            f"SELECT {keys_sql}, {_q(rid)} AS rule_id, {_q(col)} AS \"column\", "
+            f"{_q(kw)} AS keyword, CAST({col} AS VARCHAR) AS observed, "
+            f"{_q(expected)} AS expected FROM {table} WHERE NOT ({p})"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def verdict_sql(
     table_rule: TableRule,
     table: str,

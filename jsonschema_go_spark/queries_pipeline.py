@@ -712,3 +712,62 @@ def _transcript_oracle() -> str:
 
 
 _register("transcript_validation", q_transcript_validation, _transcript_oracle())
+
+
+def q_transcript_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star literal gate: MATERIALIZED VIOLATION ROWS over the staged
+    transcript table, byte-matched (value-hash) against a DuckDB
+    reconstruction of every compiled check's failing rows — under stable
+    (conv_id, turn_idx) ordering. Same sf0.01 pinning as
+    `transcript_validation` (static oracle path)."""
+    from .compile import compile_table
+    from .sources.transcripts import stage_transcripts, transcript_table_rule
+
+    df = spark.read.parquet(stage_transcripts(spark, "0.01"))
+    plan = compile_table(transcript_table_rule(), df.schema)
+    return plan.violations(df, ["conv_id", "turn_idx"])
+
+
+def _transcript_violations_oracle() -> str:
+    from .oracle import violations_sql
+    from .sources.transcripts import GEN_VERSION, STAGE_DIR, transcript_table_rule
+
+    path = f"{STAGE_DIR}/transcripts_v{GEN_VERSION}_sf0.01"
+    body = violations_sql(
+        transcript_table_rule(),
+        "transcripts",
+        ["conv_id", "turn_idx"],
+        _TRANSCRIPT_ELEM_TYPES,
+    )
+    return (
+        f"WITH transcripts AS (SELECT * FROM read_parquet('{path}/*.parquet'))\n"
+        + body
+    )
+
+
+_register("transcript_violations", q_transcript_violations, _transcript_violations_oracle())
+
+
+def q_transcript_text_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint row invariant, driver-gated: per-turn TEXT EQUALITY under
+    stable (conv_id, turn_idx) ordering — the full staged table's key+text
+    rows must value-hash-match DuckDB's read of the same files."""
+    from .sources.transcripts import stage_transcripts
+
+    df = spark.read.parquet(stage_transcripts(spark, "0.01"))
+    return df.select("conv_id", "turn_idx", "text").orderBy(
+        "conv_id", "turn_idx", "text"
+    )
+
+
+def _transcript_texts_oracle() -> str:
+    from .sources.transcripts import GEN_VERSION, STAGE_DIR
+
+    path = f"{STAGE_DIR}/transcripts_v{GEN_VERSION}_sf0.01"
+    return (
+        f"SELECT conv_id, turn_idx, text FROM read_parquet('{path}/*.parquet') "
+        "ORDER BY conv_id, turn_idx, text"
+    )
+
+
+_register("transcript_text_equality", q_transcript_text_equality, _transcript_texts_oracle())

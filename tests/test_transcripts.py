@@ -195,3 +195,23 @@ def test_contiguity_violations_window(transcripts):
     # window catches gaps/regressions; pure duplicates show gap 0 twice → also
     # covered because dup row has gap -1... both sets must agree on gap-type
     assert agg_broken == win_convs
+
+
+def test_violation_annotations_match_compiled_checks(spark):
+    """oracle.violations_sql derives (column, keyword, expected) WITHOUT
+    compiling Columns — it must agree with the compiled plan's own checks for
+    every rule_id (guards the two paths against divergence)."""
+    from jsonschema_go_spark.compile import expected_annotation
+    from jsonschema_go_spark.oracle import check_preds_sql
+
+    tr = transcript_table_rule()
+    df = generate_transcripts(spark, num_convs=5, seed=42)
+    plan = compile_table(tr, df.schema)
+    required = set(tr.metadata.get("required", []))
+    oracle_ids = [rid for rid, _ in check_preds_sql(tr, ELEM_TYPES)]
+    assert oracle_ids == plan.rule_ids
+    for ch in plan.checks:
+        col, kw = ch.rule_id.rsplit(".", 1)
+        assert col == ch.column and kw == ch.keyword
+        key = "column-required" if (kw == "required" and col in required) else kw
+        assert expected_annotation(tr.columns.get(col, True), key) == ch.expected
