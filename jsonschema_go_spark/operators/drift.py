@@ -320,12 +320,17 @@ def ks_exact(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
-    tot = merged.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # totals via a window over the SAME (already single-task-sorted) merged
+    # subtree — a separate `tot` aggregate re-evaluates the subtree, i.e.
+    # scans both inputs twice (4 scans/statistic; plan-audited)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
     ecdf = merged.select(
         F.sum("ca").over(w).alias("cum_a"),
         F.sum("cb").over(w).alias("cum_b"),
-    ).crossJoin(F.broadcast(tot))
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
     # null-safe: a snapshot with zero values has no ECDF (x/0 aborts under
     # ANSI) — report ks_d NULL instead of killing the job
     diff = F.when(
@@ -387,12 +392,16 @@ def ks_binned(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
-    tot = merged.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # totals via windows over merged (≤ buckets rows): a separate aggregate
+    # would re-evaluate the subtree and scan both inputs twice
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
     ecdf = merged.select(
         F.sum("ca").over(w).alias("cum_a"),
         F.sum("cb").over(w).alias("cum_b"),
-    ).crossJoin(F.broadcast(tot))
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
     diff = F.when(
         (F.col("na") == 0) | (F.col("nb") == 0), F.lit(None)
     ).otherwise(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")))
@@ -458,8 +467,15 @@ def psi(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
-    tot = merged.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    cells = merged.crossJoin(F.broadcast(tot))
+    # totals via windows over merged (≤ buckets rows): a separate aggregate
+    # would re-evaluate the subtree and scan both inputs twice
+    w_all = Window.partitionBy()
+    cells = merged.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
     pa = F.greatest(F.col("ca") / F.col("na"), F.lit(eps))
     pb = F.greatest(F.col("cb") / F.col("nb"), F.lit(eps))
     # null-safe: a zero-row snapshot has no distribution (and x/0 aborts
