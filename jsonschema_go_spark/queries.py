@@ -460,6 +460,59 @@ _register(
 )
 
 
+REPAIR_RULE = TableRule(
+    name="events",
+    columns={
+        "user_id": Rule(type="integer", minimum=100, default=100),
+        "value": Rule(type="number", default=1.0),
+        "event_type": Rule(
+            type="string", enum=["click", "view", "purchase", "signup"], default="view"
+        ),
+    },
+)
+
+
+def q_repair_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair mode driver-gated: `default` is an annotation, never an
+    assertion (`/root/reference/entities.go:23`) — its ONE runtime effect is
+    the opt-in NULL-coalesce pass (`ValidationPlan.repair`). The gate proves
+    the repaired table: zero remaining NULLs in defaulted columns + exact
+    integer/count aggregates matching the SQL COALESCE mirror."""
+    df = _read(spark, sf_dir, "events")
+    rep = compile_table(REPAIR_RULE, df.schema).repair(df)
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user_id"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias("null_event_type"),
+        F.sum("user_id").cast("long").alias("sum_user_id"),
+        F.sum((F.col("value") == 1.0).cast("long")).alias("default_values"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("view_events"),
+    )
+
+
+_register(
+    "repair_events",
+    q_repair_events,
+    """
+    WITH rep AS (
+      SELECT coalesce(user_id, 100) AS user_id,
+             coalesce(value, 1.0) AS value,
+             coalesce(event_type, 'view') AS event_type
+      FROM events
+    )
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_user_id,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_value,
+           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_event_type,
+           SUM(user_id)::BIGINT AS sum_user_id,
+           SUM(CASE WHEN value = 1.0 THEN 1 ELSE 0 END)::BIGINT AS default_values,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view_events
+    FROM rep
+    """,
+)
+
+
 def q_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of `value` between two deterministic
     snapshots (10 equal-width bins, eps-floored proportions — the standard

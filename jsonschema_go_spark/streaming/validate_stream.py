@@ -78,6 +78,42 @@ def windowed_violation_counts(
     )
 
 
+def violation_sink_stream(
+    plan: ValidationPlan,
+    stream: DataFrame,
+    keys: Sequence[str],
+    io,
+    table: str,
+    checkpoint: str,
+):
+    """Persist streaming violation rows through the :class:`TableIO` seam
+    (parquet sandbox / Iceberg production) via ``foreachBatch`` → returns a
+    ready-to-``start()`` ``DataStreamWriter``.
+
+    Each micro-batch appends under its ``batch_id`` partition AFTER dropping
+    any existing data for that id — Structured Streaming replays a batch
+    whose write crashed mid-append, and the drop-then-append makes the
+    replay exactly-once per batch (the same idempotence primitive the batch
+    CheckpointedRun uses per bucket). The checkpoint location carries the
+    stream's own progress, so a restarted query resumes from the last
+    committed batch."""
+    viol = violation_stream(plan, stream, keys)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        io.delete_partition(table, "batch_id", batch_id)
+        io.append(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            table,
+            partition_by=["batch_id"],
+        )
+
+    return (
+        viol.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def windowed_category_counts(
     stream: DataFrame,
     value_col: str,

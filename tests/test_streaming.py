@@ -148,3 +148,33 @@ def test_windowed_drift_matches_batch(stream_env):
     assert got["n"] == want["n"] and got["dof"] == want["dof"]
     assert got["n_groups"] == want["n_groups"] and got["n_values"] == want["n_values"]
     assert abs(got["chi2"] - want["chi2"]) < 1e-6 * max(1.0, want["chi2"])
+
+
+def test_violation_sink_persists_through_tableio(stream_env, tmp_path):
+    """6th streaming mode — persisted violations: foreachBatch writes the
+    violation stream through TableIO; stored rows equal the batch operator,
+    and a restart with the same checkpoint appends nothing new."""
+    from jsonschema_go_spark.sources.io import TableIO
+    from jsonschema_go_spark.streaming.validate_stream import (
+        violation_sink_stream,
+    )
+
+    spark, batch, stream, plan, root = stream_env
+    io = TableIO(spark, base_path=str(tmp_path / "out"))
+    ckpt = str(tmp_path / "ckpt_sink")
+    q = violation_sink_stream(
+        plan, stream, ["conv_id", "turn_idx"], io, "viol_stream", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    stored = io.read("viol_stream").drop("batch_id")
+    want = plan.violations(batch, ["conv_id", "turn_idx"], ordered=False)
+    assert stored.count() == want.count()
+    assert stored.exceptAll(want).count() == 0
+
+    # restart on the same checkpoint: no new data -> no duplicate appends
+    q2 = violation_sink_stream(
+        plan, stream, ["conv_id", "turn_idx"], io, "viol_stream", ckpt
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert io.read("viol_stream").count() == want.count()
