@@ -40,7 +40,11 @@ def run_noop(df):
 
 #: the round-1 query set — a STABLE subtotal (`headline25_sec`) so
 #: cross-round comparisons don't need manual subset arithmetic as the full
-#: timed suite keeps growing
+#: timed suite keeps growing. Caveat recorded per round: member workloads can
+#: change (round 3 rescoped `embedding_neardup` from sample×full-corpus to
+#: within-sample audit pairs, ~35% fewer compares — that drop is scope, not
+#: speedup). Any member missing from a run is reported in
+#: `headline25_missing` instead of being silently summed as zero.
 HEADLINE25 = [
     "ann_topk_embeddings", "chi_square_events", "col_stats_events",
     "contiguity_lineitem", "dedup_exact_documents", "dedup_jaccard_documents",
@@ -105,6 +109,7 @@ def main() -> None:
     tdf.unpersist()
 
     total = round(sum(timings.values()), 4)
+    h25_missing = [q for q in HEADLINE25 if q not in timings]
     headline25 = round(sum(timings.get(q, 0.0) for q in HEADLINE25), 4)
     print(
         json.dumps(
@@ -113,6 +118,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "headline25_sec": headline25,
+                "headline25_missing": h25_missing,
                 "queries": timings,
                 "sf": sf,
                 "turns_per_sec": turns_per_sec,

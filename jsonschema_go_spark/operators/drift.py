@@ -343,34 +343,31 @@ def ks_exact(
     )
 
 
-def ks_binned(
+def _binned_counts(
     df_a: DataFrame,
     df_b: DataFrame,
     value_col: str,
-    buckets: int = 1024,
-    lo: Optional[float] = None,
-    hi: Optional[float] = None,
-) -> DataFrame:
-    """Approximate KS over B fixed-width bins — the 100 TB path.
-
-    One agg per side for (min,max) when bounds not given, one binned hash-agg
-    per side, then the cumulative scan runs over ≤B rows on a single tiny
-    task. Approximation error ≤ max per-bin probability mass.
-    → ``(ks_d, n_a, n_b, buckets)``.
-    """
+    buckets: int,
+    lo: Optional[float],
+    hi: Optional[float],
+) -> Optional[DataFrame]:
+    """Shared equal-width binning for :func:`ks_binned` and :func:`psi` →
+    ``(bin, ca, cb)`` with zero-filled absent bins, or ``None`` when both
+    snapshots are all-NULL. A caller-pinned ``lo``/``hi`` is honored even
+    when only ONE bound is given (the other fills from the data) — pinning
+    one edge keeps bins comparable across snapshot pairs."""
     va = F.col(value_col).cast("double")
     if lo is None or hi is None:
         bounds_a = df_a.agg(F.min(va).alias("mn"), F.max(va).alias("mx")).first()
         bounds_b = df_b.agg(F.min(va).alias("mn"), F.max(va).alias("mx")).first()
         mns = [x for x in (bounds_a["mn"], bounds_b["mn"]) if x is not None]
         mxs = [x for x in (bounds_a["mx"], bounds_b["mx"]) if x is not None]
-        if not mns:
-            # both snapshots all-NULL: no distribution to compare
-            return df_a.sparkSession.createDataFrame(
-                [(None, 0, 0, buckets)],
-                "ks_d double, n_a long, n_b long, buckets long",
-            )
-        lo, hi = min(mns), max(mxs)
+        if not mns and (lo is None or hi is None):
+            return None
+        if lo is None:
+            lo = min(mns)
+        if hi is None:
+            hi = max(mxs)
     span = (hi - lo) or 1.0
 
     def binned(df: DataFrame, alias: str) -> DataFrame:
@@ -387,11 +384,35 @@ def ks_binned(
             .agg(F.count(F.lit(1)).alias(alias))
         )
 
-    merged = binned(df_a, "ca").join(binned(df_b, "cb"), "bin", "full_outer").select(
+    return binned(df_a, "ca").join(binned(df_b, "cb"), "bin", "full_outer").select(
         "bin",
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
+
+
+def ks_binned(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    buckets: int = 1024,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """Approximate KS over B fixed-width bins — the 100 TB path.
+
+    One agg per side for (min,max) when bounds not given, one binned hash-agg
+    per side, then the cumulative scan runs over ≤B rows on a single tiny
+    task. Approximation error ≤ max per-bin probability mass.
+    → ``(ks_d, n_a, n_b, buckets)``.
+    """
+    merged = _binned_counts(df_a, df_b, value_col, buckets, lo, hi)
+    if merged is None:
+        # both snapshots all-NULL: no distribution to compare
+        return df_a.sparkSession.createDataFrame(
+            [(None, 0, 0, buckets)],
+            "ks_d double, n_a long, n_b long, buckets long",
+        )
     # totals via windows over merged (≤ buckets rows): a separate aggregate
     # would re-evaluate the subtree and scan both inputs twice
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -434,39 +455,12 @@ def psi(
     Same 100 TB shape as :func:`ks_binned`: one bounds agg + one binned
     hash-agg per side; the statistic reduces ≤ ``buckets`` rows.
     """
-    va = F.col(value_col).cast("double")
-    if lo is None or hi is None:
-        bounds_a = df_a.agg(F.min(va).alias("mn"), F.max(va).alias("mx")).first()
-        bounds_b = df_b.agg(F.min(va).alias("mn"), F.max(va).alias("mx")).first()
-        mns = [x for x in (bounds_a["mn"], bounds_b["mn"]) if x is not None]
-        mxs = [x for x in (bounds_a["mx"], bounds_b["mx"]) if x is not None]
-        if not mns:
-            return df_a.sparkSession.createDataFrame(
-                [(None, 0, 0, buckets)],
-                "psi double, n_a long, n_b long, buckets long",
-            )
-        lo, hi = min(mns), max(mxs)
-    span = (hi - lo) or 1.0
-
-    def binned(df: DataFrame, alias: str) -> DataFrame:
-        b = F.least(
-            F.greatest(
-                F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(span) * buckets),
-                F.lit(0),
-            ),
-            F.lit(buckets - 1),
-        ).cast("int")
-        return (
-            df.where(F.col(value_col).isNotNull())
-            .groupBy(b.alias("bin"))
-            .agg(F.count(F.lit(1)).alias(alias))
+    merged = _binned_counts(df_a, df_b, value_col, buckets, lo, hi)
+    if merged is None:
+        return df_a.sparkSession.createDataFrame(
+            [(None, 0, 0, buckets)],
+            "psi double, n_a long, n_b long, buckets long",
         )
-
-    merged = binned(df_a, "ca").join(binned(df_b, "cb"), "bin", "full_outer").select(
-        "bin",
-        F.coalesce("ca", F.lit(0)).alias("ca"),
-        F.coalesce("cb", F.lit(0)).alias("cb"),
-    )
     # totals via windows over merged (≤ buckets rows): a separate aggregate
     # would re-evaluate the subtree and scan both inputs twice
     w_all = Window.partitionBy()

@@ -248,13 +248,20 @@ def assign_cells(
     ``max(struct)`` aggregate (map-side partial, no window sort) — the
     large-k path (the 10⁴–10⁵ cells a 100 TB IVF wants). Identical float
     folds and identical tie-break (lowest cell wins) ⇒ identical assignments
-    (pytest-asserted at k=256).
+    (pytest-asserted at k=256). NULL vectors are dropped on BOTH paths (they
+    have no nearest cell; without the filter the literal path would emit a
+    NULL cell while the join path's max(struct) would fall through the NULL
+    sim to cell 0 — mode-dependent results).
     """
     cents = [[float(x) for x in c] for c in centroids]
-    vecs = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).select(id_col, "_v", norm(F.col("_v")).alias("_vn"))  # norm hoisted once
+    vecs = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .select(id_col, "_v", norm(F.col("_v")).alias("_vn"))  # norm hoisted once
+    )
     if via == "literal":
         cl = F.lit(cents)
         # zero-norm guard: a zero vector (or zero centroid) gets similarity
@@ -314,18 +321,36 @@ def kmeans_centroids(
         .collect()
     )
     cents = [list(r["v"]) for r in init]
-    vecs = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    vecs = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .select(id_col, "_v", norm(F.col("_v")).alias("_vn"))
     )
     for _ in range(iters):
-        assigned = assign_cells(df, id_col, vec_col, cents, via=mode)
+        if mode == "literal":
+            # single narrow pass, ZERO joins: assignment expression inline,
+            # posexplode feeds the mean directly (the assign_cells+join-back
+            # form would add a full-data shuffle per iteration)
+            cl = F.lit(cents)
+            sims = F.transform(
+                cl,
+                lambda p: _safe_ratio(dot(F.col("_v"), p), F.col("_vn"), norm(p)),
+            )
+            cell = (F.array_position(sims, F.array_max(sims)) - 1).alias("_cell")
+            exploded = vecs.select(cell, F.posexplode("_v").alias("_pos", "_x"))
+        else:
+            # large k: broadcast-join argmax (assign_cells), then ONE id-join
+            # to re-attach vectors — cheaper than carrying each vector k×
+            # through the crossJoin shuffle
+            assigned = assign_cells(df, id_col, vec_col, cents, via=mode)
+            exploded = assigned.join(vecs.select(id_col, "_v"), id_col).select(
+                "_cell", F.posexplode("_v").alias("_pos", "_x")
+            )
         means = (
-            assigned.join(vecs, id_col)
-            .select("_cell", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_cell", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
+            exploded.groupBy("_cell", "_pos").agg(F.avg("_x").alias("_m")).collect()
         )
         new = [list(c) for c in cents]  # empty cells keep previous centroid
         for r in means:
@@ -484,6 +509,7 @@ def ivf_topk_stored(
     query_ids: Sequence[int],
     k: int = 5,
     n_probe: int = 4,
+    query_vectors: Optional[list] = None,
 ) -> DataFrame:
     """ANN top-k over a STORED IVF index (see :func:`write_ivf_index`):
     resolve each query's ``n_probe`` nearest cells against the co-stored
@@ -491,20 +517,29 @@ def ivf_topk_stored(
     neighbor_id, rank, cos)``. Matches :func:`ivf_topk` exactly for the same
     centroid layout (pytest-asserted, including the pruned-scan plan).
 
-    The probed-cell list is collected to the driver first — it is ≤
-    ``len(query_ids) × n_probe`` ints, and turning it into a literal ``IN``
-    predicate is precisely what lets the scan prune at the STORAGE level
-    instead of filtering after reading everything.
+    The tiny probe table (≤ ``len(query_ids) × n_probe`` rows) is collected
+    ONCE and re-issued as a local DataFrame — both to turn the probed cells
+    into a literal ``IN`` predicate (storage-level partition pruning) and so
+    the probe subplan is never evaluated twice. Pass ``query_vectors`` as
+    ``[(id, [floats...]), ...]`` when the queries are held externally (the
+    production shape); without it the query vectors are looked up with ONE
+    full-index scan — only the scoring scan is pruned in that case.
     """
     index = spark.read.parquet(path)
     cents = spark.read.parquet(f"{path}/_centroids")
-    q = index.where(F.col(id_col).isin(*list(query_ids))).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qn"),
-    )
+    if query_vectors is not None:
+        q = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in query_vectors],
+            f"query_id long, _qv array<double>",
+        ).select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"))
+    else:
+        q = index.where(F.col(id_col).isin(*list(query_ids))).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
-    probes = (
+    probes_plan = (
         F.broadcast(q)
         .crossJoin(F.broadcast(cents))
         .select(
@@ -515,7 +550,9 @@ def ivf_topk_stored(
         .where(F.col("_rk") <= n_probe)
         .select("query_id", "_qv", "_qn", "cell")
     )
-    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    probe_rows = probes_plan.collect()  # tiny; evaluated exactly once
+    probes = spark.createDataFrame(probe_rows, probes_plan.schema)
+    cells = sorted({r["cell"] for r in probe_rows})
     pruned = index.where(F.col("cell").isin(cells)).withColumn(
         "_in", norm(F.col(vec_col))
     )

@@ -475,10 +475,18 @@ REPAIR_RULE = TableRule(
 def q_repair_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repair mode driver-gated: `default` is an annotation, never an
     assertion (`/root/reference/entities.go:23`) — its ONE runtime effect is
-    the opt-in NULL-coalesce pass (`ValidationPlan.repair`). The gate proves
-    the repaired table: zero remaining NULLs in defaulted columns + exact
+    the opt-in NULL-coalesce pass (`ValidationPlan.repair`). The driver
+    events table carries no NULLs, so the gate NULL-injects a deterministic
+    slice first (same construction in the SQL mirror) — without it the
+    comparison would be vacuously true on identity; the gate proves the
+    repaired table: zero remaining NULLs in defaulted columns + exact
     integer/count aggregates matching the SQL COALESCE mirror."""
-    df = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    df = _read(spark, sf_dir, "events").select(
+        F.when(eid % 13 != 0, F.col("user_id")).alias("user_id"),
+        F.when(eid % 17 != 0, F.col("value")).alias("value"),
+        F.when(eid % 11 != 0, F.col("event_type")).alias("event_type"),
+    )
     rep = compile_table(REPAIR_RULE, df.schema).repair(df)
     return rep.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -495,11 +503,17 @@ _register(
     "repair_events",
     q_repair_events,
     """
-    WITH rep AS (
+    WITH holes AS (
+      SELECT CASE WHEN event_id % 13 != 0 THEN user_id END AS user_id,
+             CASE WHEN event_id % 17 != 0 THEN value END AS value,
+             CASE WHEN event_id % 11 != 0 THEN event_type END AS event_type
+      FROM events
+    ),
+    rep AS (
       SELECT coalesce(user_id, 100) AS user_id,
              coalesce(value, 1.0) AS value,
              coalesce(event_type, 'view') AS event_type
-      FROM events
+      FROM holes
     )
     SELECT COUNT(*)::BIGINT AS n_rows,
            SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_user_id,

@@ -232,3 +232,17 @@ def test_psi_empty_side_is_null(spark):
     b = a.where(F.col("v") < 0)
     row = psi(a, b, "v").first()
     assert row["psi"] is None and row["n_b"] == 0
+
+
+def test_binned_bounds_honor_single_pin(spark):
+    """A caller-pinned lo (hi from data) must be honored, not clobbered by
+    the recomputed combined bounds."""
+    from jsonschema_go_spark.operators.drift import _binned_counts
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(1.5,), (2.0,)], "v double")
+    # lo pinned at 0.0, hi=2.0 from data, 4 bins of width 0.5:
+    # 1.0→bin2, 1.5→bin3, 2.0→clamped bin3
+    merged = {r["bin"]: (r["ca"], r["cb"]) for r in
+              _binned_counts(a, b, "v", 4, 0.0, None).collect()}
+    assert merged == {2: (1, 0), 3: (1, 2)}
