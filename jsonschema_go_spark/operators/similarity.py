@@ -530,7 +530,7 @@ def ivf_topk_stored(
     if query_vectors is not None:
         q = spark.createDataFrame(
             [(int(i), [float(x) for x in v]) for i, v in query_vectors],
-            f"query_id long, _qv array<double>",
+            "query_id long, _qv array<double>",
         ).select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"))
     else:
         q = index.where(F.col(id_col).isin(*list(query_ids))).select(
