@@ -748,6 +748,104 @@ def _transcript_violations_oracle() -> str:
 _register("transcript_violations", q_transcript_violations, _transcript_violations_oracle())
 
 
+def _staged_transcripts(spark: SparkSession) -> DataFrame:
+    from .sources.transcripts import stage_transcripts
+
+    return spark.read.parquet(stage_transcripts(spark, "0.01"))
+
+
+def _transcript_path() -> str:
+    from .sources.transcripts import GEN_VERSION, STAGE_DIR
+
+    return f"{STAGE_DIR}/transcripts_v{GEN_VERSION}_sf0.01"
+
+
+def q_transcript_contiguity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-scope referential check, row-level gate: per-row chain-break
+    attribution (window lag) over the staged transcripts — the injected
+    negative/skipped turn_idx rows must surface as (conv_id, observed_idx,
+    gap) rows identical to the SQL window mirror."""
+    from .operators import uniqueness as uq
+
+    return uq.contiguity_violations(_staged_transcripts(spark), "conv_id", "turn_idx", 0)
+
+
+_register(
+    "transcript_contiguity_violations",
+    q_transcript_contiguity_violations,
+    f"""
+    WITH transcripts AS (SELECT * FROM read_parquet('{_transcript_path()}/*.parquet')),
+    v AS (
+      SELECT conv_id, turn_idx AS observed_idx,
+             CASE WHEN lag(turn_idx) OVER w IS NULL THEN turn_idx - 0
+                  ELSE turn_idx - lag(turn_idx) OVER w - 1 END AS gap
+      FROM transcripts
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    SELECT conv_id, observed_idx, gap FROM v WHERE gap != 0
+    """,
+)
+
+
+def q_transcript_uniqueness_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-scope (conv_id, turn_idx) uniqueness, row-level gate: duplicate
+    key tuples with counts. The staged table has no natural duplicates at
+    sf0.01, so a deterministic slice is re-inserted first (same construction
+    in SQL) — without it the gate would be vacuously empty."""
+    from .operators import uniqueness as uq
+
+    df = _staged_transcripts(spark)
+    dup_cond = (
+        F.expr("try_cast(substring(conv_id, 2, 8) AS INT)") % 97 == 0
+    ) & (F.col("turn_idx") % 3 == 0)
+    corpus = df.unionByName(df.where(dup_cond))
+    return uq.duplicates(corpus, ["conv_id", "turn_idx"])
+
+
+_register(
+    "transcript_uniqueness_duplicates",
+    q_transcript_uniqueness_duplicates,
+    f"""
+    WITH transcripts AS (SELECT * FROM read_parquet('{_transcript_path()}/*.parquet')),
+    corpus AS (
+      SELECT * FROM transcripts
+      UNION ALL
+      SELECT * FROM transcripts
+      WHERE try_cast(substring(conv_id, 2, 8) AS INTEGER) % 97 = 0
+        AND turn_idx % 3 = 0
+    )
+    SELECT conv_id, turn_idx, COUNT(*)::BIGINT AS dup_count
+    FROM corpus GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1
+    """,
+)
+
+
+def q_transcript_monotonic_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts-monotonic-within-chain, row-level gate: rows whose ts regresses
+    along the turn_idx order per conversation (the +10000-turn_idx injection
+    reorders rows whose ts stays mid-range) — window-lag rows must match the
+    SQL mirror, including the total-order tie-break on ts itself."""
+    from .operators import uniqueness as uq
+
+    return uq.monotonic_violations(_staged_transcripts(spark), "conv_id", "turn_idx", "ts")
+
+
+_register(
+    "transcript_monotonic_violations",
+    q_transcript_monotonic_violations,
+    f"""
+    WITH transcripts AS (SELECT * FROM read_parquet('{_transcript_path()}/*.parquet')),
+    v AS (
+      SELECT conv_id, turn_idx, ts AS observed, lag(ts) OVER w AS previous
+      FROM transcripts
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+    )
+    SELECT conv_id, turn_idx, observed, previous
+    FROM v WHERE previous IS NOT NULL AND observed < previous
+    """,
+)
+
+
 def q_transcript_text_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint row invariant, driver-gated: per-turn TEXT EQUALITY under
     stable (conv_id, turn_idx) ordering — the full staged table's key+text
