@@ -342,11 +342,15 @@ def kmeans_centroids(
             cell = (F.array_position(sims, F.array_max(sims)) - 1).alias("_cell")
             exploded = vecs.select(cell, F.posexplode("_v").alias("_pos", "_x"))
         else:
-            # large k: broadcast-join argmax (assign_cells), then ONE id-join
-            # to re-attach vectors — cheaper than carrying each vector k×
-            # through the crossJoin shuffle
-            assigned = assign_cells(df, id_col, vec_col, cents, via=mode)
-            exploded = assigned.join(vecs.select(id_col, "_v"), id_col).select(
+            # large k: broadcast-join max(struct) argmax CARRYING the vector
+            # (same aggregate as ivf_index) — one one-row-per-vector shuffle,
+            # no re-attach join per iteration
+            cdf = df.sparkSession.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "_cell int, _cent array<double>",
+            ).withColumn("_centn", norm(F.col("_cent")))
+            assigned = _argmax_carry(vecs, id_col, "_v", cdf, "_cell")
+            exploded = assigned.select(
                 "_cell", F.posexplode("_v").alias("_pos", "_x")
             )
         means = (
@@ -357,6 +361,54 @@ def kmeans_centroids(
             new[r["_cell"]][r["_pos"]] = r["_m"]
         cents = new
     return cents
+
+
+def _argmax_carry(
+    vecs: DataFrame, id_col: str, vec_col: str, cents: DataFrame, cell_col: str
+) -> DataFrame:
+    """Nearest-centroid argmax that CARRIES the vector through the aggregate
+    → ``(cell_col, id_col, vec_col)``.
+
+    ``vecs`` must have (id_col, vec_col, _vn) with norms pre-hoisted; ``cents``
+    must have (cell_col, _cent, _centn). The broadcast cross join is narrow
+    (no exchange), then ``max_by(struct(cell, vec), struct(sim, -cell))``
+    argmaxes with a MAP-SIDE PARTIAL aggregate: the n_cells scored copies of
+    each vector collapse to ONE row before the exchange, so the shuffle
+    carries one row per vector — not n_cells vector copies through a
+    ``row_number`` sort (the round-3 scale-killer: at the 10⁴–10⁵ cells a
+    100 TB IVF wants that was a 10⁴×-data sort-shuffle). The ordering struct
+    (sim, -cell) is unique per cell within an id group, so ``max_by`` is
+    deterministic; tie-break identical to :func:`assign_cells`'s
+    ``max(struct)``: highest sim, then lowest cell (max of -cell). An
+    all-NULL-sim group (NULL vector) falls through to the lowest cell,
+    matching the old window's NULLS LAST + asc(cell) ordering (the ordering
+    struct itself is never NULL, so ``max_by`` skips no rows). Parity with
+    the window form is pytest-asserted at n_cells ∈ {16, 256}.
+    """
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(cell_col),
+        _safe_ratio(
+            dot(F.col(vec_col), F.col("_cent")), F.col("_vn"), F.col("_centn")
+        ).alias("_sim"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col(cell_col).alias("c"), F.col(vec_col).alias("v")),
+                F.struct(
+                    F.col("_sim").alias("s"), (-F.col(cell_col)).alias("nc")
+                ),
+            ).alias("_b")
+        )
+        .select(
+            F.col("_b.c").cast("int").alias(cell_col),
+            F.col(id_col),
+            F.col("_b.v").alias(vec_col),
+        )
+    )
 
 
 def ivf_index(
@@ -371,8 +423,9 @@ def ivf_index(
 
     Centroids are the ``n_cells`` lowest-id vectors (deterministic; swap in
     k-means centroids for production without changing the query path). The
-    assignment is a broadcast cross join + per-vector argmax — one scan, no
-    wide shuffle; the index is written bucketed by ``cell`` at scale so probes
+    assignment is a broadcast cross join + ``max_by`` argmax aggregate
+    (:func:`_argmax_carry`) — one scan, one one-row-per-vector shuffle, no
+    window sort; the index is written bucketed by ``cell`` at scale so probes
     read only matching buckets.
     """
     cents = _cents_df(df, id_col, vec_col, n_cells, centroids).withColumn(
@@ -380,20 +433,10 @@ def ivf_index(
     )
     # vector norms once per row; centroid norms once per centroid — each of
     # the n_cells assignment scores then costs a single dot fold
-    scored = df.select(
+    vecs = df.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn")
-    ).crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "cell",
-        _safe_ratio(dot(F.col(vec_col), F.col("_cent")), F.col("_vn"), F.col("_centn")).alias("_sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .select("cell", F.col(id_col), F.col(vec_col))
-    )
+    return _argmax_carry(vecs, id_col, vec_col, cents, "cell")
 
 
 def _cents_df(
@@ -492,13 +535,52 @@ def write_ivf_index(
 
     The centroid table is co-written under ``_centroids/`` (the leading
     underscore hides it from the index scan, like ``_SUCCESS``), so a reader
-    needs only the path.
+    needs only the path. An ``_ids/`` sidecar — the id→cell map WITHOUT the
+    vectors — is co-written too, so :func:`ivf_topk_stored` can locate
+    query-by-id vectors through the tiny sidecar plus the queries' own cell
+    partitions instead of one full-index scan (sidecar size is ids+cells
+    only: at 10⁹ vectors ~12 GB vs the multi-TB vector data).
     """
     cents = _cents_df(df, id_col, vec_col, n_cells, centroids)
     ivf_index(df, id_col, vec_col, n_cells, centroids).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
     cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+    # project the sidecar from the WRITTEN index (columnar read of two thin
+    # columns) rather than recomputing the assignment
+    spark = df.sparkSession
+    spark.read.parquet(path).select(F.col(id_col), F.col("cell")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_ids")
+
+
+def _stored_query_lookup(
+    spark, path: str, id_col: str, vec_col: str, query_ids: Sequence[int]
+) -> DataFrame:
+    """Resolve query vectors BY ID from a stored IVF index through the
+    ``_ids/`` sidecar → ``(query_id, _qv, _qn)``.
+
+    The sidecar pins each query id's cell with a cheap two-thin-columns scan;
+    the ≤Q (id, cell) rows are collected and the cells re-issued as a literal
+    ``IN`` on the index's partition column, so the vector lookup physically
+    reads ONLY the queries' home-cell directories (pytest-asserted via
+    ``input_file_name``) — round 3 scanned the full index here.
+    """
+    qids = list(query_ids)
+    home = (
+        spark.read.parquet(f"{path}/_ids")
+        .where(F.col(id_col).isin(*qids))
+        .collect()
+    )
+    home_cells = sorted({r["cell"] for r in home})
+    index = spark.read.parquet(path)
+    return index.where(
+        F.col("cell").isin(home_cells) & F.col(id_col).isin(*qids)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
 
 
 def ivf_topk_stored(
@@ -522,8 +604,11 @@ def ivf_topk_stored(
     into a literal ``IN`` predicate (storage-level partition pruning) and so
     the probe subplan is never evaluated twice. Pass ``query_vectors`` as
     ``[(id, [floats...]), ...]`` when the queries are held externally (the
-    production shape); without it the query vectors are looked up with ONE
-    full-index scan — only the scoring scan is pruned in that case.
+    production shape); without it the query vectors are resolved through the
+    ``_ids/`` sidecar (id→cell, co-written by :func:`write_ivf_index`): the
+    sidecar pins each query's cell, so the vector lookup reads ONLY the
+    queries' own cell partitions — both scans are pruned, never a full-index
+    read.
     """
     index = spark.read.parquet(path)
     cents = spark.read.parquet(f"{path}/_centroids")
@@ -533,11 +618,7 @@ def ivf_topk_stored(
             "query_id long, _qv array<double>",
         ).select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"))
     else:
-        q = index.where(F.col(id_col).isin(*list(query_ids))).select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-            norm(F.col(vec_col)).alias("_qn"),
-        )
+        q = _stored_query_lookup(spark, path, id_col, vec_col, query_ids)
     wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
     probes_plan = (
         F.broadcast(q)

@@ -261,13 +261,9 @@ _register(
 )
 
 
-def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-CLUSTER resolution — the pairs→corpus link: MinHash-LSH
-    candidate pairs over a dup-injected corpus (two shifted copy generations,
-    so clusters reach size 3) resolved into components via iterative
-    large-star/small-star, with deterministic min-id survivors. The oracle is
-    a DuckDB recursive CTE computing the transitive closure over the SAME
-    pair SQL."""
+def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-injected corpus shared by the cluster/keep-list gates: two shifted
+    copy generations so clusters reach size 3 (same construction in SQL)."""
     base = _read(spark, sf_dir, "documents").select("doc_id", "text")
     c1 = base.where(F.col("doc_id") % 50 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
@@ -275,10 +271,23 @@ def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = base.where(F.col("doc_id") % 100 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(2_000_000)
     )
-    corpus = base.unionByName(c1).unionByName(c2)
-    pairs = dd.lsh_candidate_pairs(
+    return base.unionByName(c1).unionByName(c2)
+
+
+def _cluster_pairs(corpus: DataFrame) -> DataFrame:
+    return dd.lsh_candidate_pairs(
         corpus, "doc_id", "text", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
     )
+
+
+def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution — the pairs→corpus link: MinHash-LSH
+    candidate pairs over a dup-injected corpus (two shifted copy generations,
+    so clusters reach size 3) resolved into components via iterative
+    large-star/small-star, with deterministic min-id survivors. The oracle is
+    a DuckDB recursive CTE computing the transitive closure over the SAME
+    pair SQL."""
+    pairs = _cluster_pairs(_cluster_corpus(spark, sf_dir))
     return (
         dd.duplicate_clusters(pairs)
         .withColumnRenamed("node", "doc_id")
@@ -292,10 +301,8 @@ _CLUSTER_CORPUS_SQL = (
     "UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0"
 )
 
-_register(
-    "dedup_clusters_documents",
-    q_dedup_clusters_documents,
-    f"""
+#: shared CTE chain: corpus → LSH pairs → transitive closure (recursive CTE)
+_CLUSTERS_CTE = f"""
     WITH RECURSIVE corpus AS ({_CLUSTER_CORPUS_SQL}),
     w AS (SELECT doc_id, string_split({NORM.format(c="text")}, ' ') AS words
           FROM corpus WHERE text IS NOT NULL),
@@ -315,11 +322,43 @@ _register(
       SELECT a AS node, b AS r FROM edges
       UNION
       SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    clusters AS (
+      SELECT node, least(node, MIN(r)) AS cluster_id FROM reach GROUP BY node
     )
-    SELECT node AS doc_id,
-           least(node, MIN(r)) AS cluster_id,
-           (least(node, MIN(r)) = node) AS is_survivor
-    FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+_register(
+    "dedup_clusters_documents",
+    q_dedup_clusters_documents,
+    _CLUSTERS_CTE
+    + """
+    SELECT node AS doc_id, cluster_id, (cluster_id = node) AS is_survivor
+    FROM clusters ORDER BY doc_id
+    """,
+)
+
+
+def q_dedup_keeplist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairs→clusters→CORPUS link under the hard gate: the deduplicated
+    corpus itself (drop clustered non-survivors, keep survivors + singletons
+    — the anti-join a production pipeline actually calls,
+    :func:`operators.dedup.dedup_keep_list`). The oracle extends the cluster
+    recursive CTE with the same anti-join."""
+    corpus = _cluster_corpus(spark, sf_dir)
+    keep = dd.dedup_keep_list(corpus, "doc_id", _cluster_pairs(corpus))
+    return keep.select("doc_id").orderBy("doc_id")
+
+
+_register(
+    "dedup_keeplist_documents",
+    q_dedup_keeplist_documents,
+    _CLUSTERS_CTE
+    + """
+    SELECT c.doc_id FROM corpus c
+    ANTI JOIN (SELECT node FROM clusters WHERE cluster_id != node) d
+      ON c.doc_id = d.node
+    ORDER BY doc_id
     """,
 )
 
@@ -647,23 +686,70 @@ _register(
 # ------------------------------------------------- multimodal + transcripts
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: binary-asset plumbing via Arrow mapInPandas (decode
-    is a deterministic fake — see operators/multimodal.py)."""
+    """Binary-asset plumbing via Arrow mapInPandas, now FULLY oracle-gated:
+    the fake decoder is sha256-derived (feature i = digest byte i / 255 as
+    float32) and DuckDB ships ``sha256``, so checksum, n_bytes, AND the
+    feature values are mirrorable in SQL (reference test-strategy analog:
+    golden-output equality, ``/root/reference/reflect_test.go:36-85``).
+
+    ``feat_sum`` reconstructs the exact digest bytes from the float32
+    features (``round(x·255)`` is exact: float32 of h/255 carries < 2⁻²⁴
+    relative error, ×255 keeps it far below 0.5) so the comparison is
+    integer-exact — summing raw float32s would be ~1e-6 noisy against the
+    oracle's double arithmetic right at the round(…, 6) boundary."""
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     assets = mm.synthesize_assets(docs, "doc_id", "text")
     feats = mm.extract_features(assets)
+    byte_sum = F.aggregate(
+        F.transform(
+            "features", lambda x: F.round(x.cast("double") * 255).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return feats.select(
         "asset_id",
         "media_type",
         "n_bytes",
         "checksum",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "feat_sum"
-        ),
+        F.round(byte_sum / 255.0, 6).alias("feat_sum"),
     ).orderBy("asset_id")
 
 
-_register("multimodal_features", q_multimodal_features, None)
+def _multimodal_oracle() -> str:
+    """DuckDB mirror of synthesize_assets → extract_features: payload is the
+    utf-8 encoding of the (null-coalesced) text; checksum = sha256(payload)
+    — DuckDB's sha256(VARCHAR) hashes the utf-8 bytes, byte-identical to
+    hashlib over encode(); digest byte i is re-derived arithmetically from
+    hex digits 2i, 2i+1 (same extraction family as the SimHash oracle)."""
+    hexs = "0123456789abcdef"
+    bytes_sum = " + ".join(
+        f"((strpos('{hexs}', substring(checksum, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (strpos('{hexs}', substring(checksum, {2 * i + 2}, 1)) - 1))"
+        for i in range(mm.FEATURE_DIM)
+    )
+    return f"""
+    WITH assets AS (
+      SELECT doc_id::BIGINT AS asset_id,
+             coalesce(text, '') AS payload_text,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type
+      FROM documents WHERE doc_id < 100
+    ),
+    f AS (
+      SELECT asset_id, media_type,
+             octet_length(encode(payload_text))::INT AS n_bytes,
+             sha256(payload_text) AS checksum
+      FROM assets
+    )
+    SELECT asset_id, media_type, n_bytes, checksum,
+           round(({bytes_sum}) / 255.0, 6) AS feat_sum
+    FROM f ORDER BY asset_id
+    """
+
+
+_register("multimodal_features", q_multimodal_features, _multimodal_oracle())
 
 
 #: column → sql_pred elem-type hints for the staged transcript table
