@@ -20,7 +20,7 @@ Semantics parity contract with :mod:`compile`:
 
 from __future__ import annotations
 
-from typing import List, Optional, Union
+from typing import List, NamedTuple, Optional, Union
 
 from .rules import ABSENT, Rule, RuleOrBool, TableRule
 from .compile import MULTIPLE_OF_EPS
@@ -387,34 +387,51 @@ def keyword_preds_sql(rule: Rule, c: str, elem_type: str = "scalar") -> List[tup
     return out
 
 
+class CheckPred(NamedTuple):
+    """One compiled check mirrored to SQL: ``rule_id`` is ``column.keyword``
+    (the same id :func:`compile.compile_table` emits); ``column`` and
+    ``keyword`` are carried SEPARATELY so consumers never re-split the id —
+    ``rsplit('.')`` would mis-attribute a column name containing a dot."""
+
+    rule_id: str
+    column: str
+    keyword: str
+    pred: str
+
+
 def check_preds_sql(
     table_rule: TableRule,
     elem_types: Optional[dict] = None,
     elide_trivial: bool = True,
-) -> List[tuple]:
-    """(rule_id, pass-predicate SQL) for every check :func:`compile.compile_table`
+) -> List[CheckPred]:
+    """:class:`CheckPred` rows for every check :func:`compile.compile_table`
     would compile — same rule_ids, same ``required`` handling, same IsTrivial
     elision. Shared by :func:`summary_sql` and :func:`verdict_sql` so every
     oracle shape mirrors the identical check list."""
     elem_types = elem_types or {}
     required = set(table_rule.metadata.get("required", []))
-    selects: List[tuple] = []
+    selects: List[CheckPred] = []
     for col, rule in table_rule.columns.items():
         et = elem_types.get(col, "scalar")
         if col in required:
             selects.append(
-                (f"{col}.required", f"({col} IS NOT NULL)")
+                CheckPred(f"{col}.required", col, "required", f"({col} IS NOT NULL)")
             )
         if rule is True:
             continue
         if rule is False:
-            selects.append((f"{col}.false", "FALSE"))
+            selects.append(CheckPred(f"{col}.false", col, "false", "FALSE"))
             continue
         if elide_trivial and rule.is_trivial():
             continue
         for kw, p in keyword_preds_sql(rule, col, et):
             # NULL input passes (required handled above)
-            selects.append((f"{col}.{kw}", f"({col} IS NULL OR coalesce({p}, TRUE))"))
+            selects.append(
+                CheckPred(
+                    f"{col}.{kw}", col, kw,
+                    f"({col} IS NULL OR coalesce({p}, TRUE))",
+                )
+            )
     return selects
 
 
@@ -435,10 +452,10 @@ def summary_sql(
     if not selects:
         return f"SELECT CAST(NULL AS VARCHAR) rule_id, CAST(NULL AS BIGINT) fail_count, CAST(NULL AS BIGINT) row_count WHERE FALSE"
     parts = [
-        f"SELECT {_q(rid)} AS rule_id, "
-        f"SUM(CASE WHEN NOT ({p}) THEN 1 ELSE 0 END)::BIGINT AS fail_count, "
+        f"SELECT {_q(c.rule_id)} AS rule_id, "
+        f"SUM(CASE WHEN NOT ({c.pred}) THEN 1 ELSE 0 END)::BIGINT AS fail_count, "
         f"COUNT(*)::BIGINT AS row_count FROM {table}"
-        for rid, p in selects
+        for c in selects
     ]
     return " UNION ALL ".join(parts)
 
@@ -458,30 +475,43 @@ def violations_sql(
     the compiled plan — summary-parity-tested); ``expected`` annotations come
     from :func:`compile.expected_annotation` (the same pure-Python table the
     CompiledChecks read), so both engines materialize identical rows by
-    construction. A column that is BOTH table-required and an object rule
-    with its own ``required`` keyword would collide on one rule_id — refused
-    here (no driver table has that shape; compile.py keeps them as separate
-    checks).
+    construction — for the SUPPORTED observed types: the
+    ``CAST(col AS VARCHAR)`` rendering of ``observed`` is byte-identical to
+    Spark's string cast only for string/integer/timestamp columns (doubles,
+    arrays, and structs render differently across engines), so any other
+    elem-type hint is rejected explicitly rather than silently mis-hashing.
+    A column that is BOTH table-required and an object rule with its own
+    ``required`` keyword would collide on one rule_id — refused here (no
+    driver table has that shape; compile.py keeps them as separate checks).
     """
     from .compile import expected_annotation
 
     required = set(table_rule.metadata.get("required", []))
     selects = check_preds_sql(table_rule, elem_types)
-    if len({rid for rid, _ in selects}) != len(selects):
+    if len({c.rule_id for c in selects}) != len(selects):
         raise ValueError("rule_id collision: required column with object-required rule")
+    renderable = {"string", "integer", "timestamp"}
+    for c in selects:
+        et = (elem_types or {}).get(c.column, "scalar")
+        if et not in renderable:
+            raise ValueError(
+                f"violations_sql: CAST AS VARCHAR rendering of column "
+                f"{c.column!r} (elem type {et!r}) is not byte-stable across "
+                f"engines; supported observed types: {sorted(renderable)}"
+            )
     keys_sql = ", ".join(keys)
     parts = []
-    for rid, p in selects:
-        col, kw = rid.rsplit(".", 1)
-        rule = table_rule.columns.get(col, True)
-        if kw == "required" and col in required:
+    for c in selects:
+        rule = table_rule.columns.get(c.column, True)
+        if c.keyword == "required" and c.column in required:
             expected = expected_annotation(rule, "column-required")
         else:
-            expected = expected_annotation(rule, kw)
+            expected = expected_annotation(rule, c.keyword)
         parts.append(
-            f"SELECT {keys_sql}, {_q(rid)} AS rule_id, {_q(col)} AS \"column\", "
-            f"{_q(kw)} AS keyword, CAST({col} AS VARCHAR) AS observed, "
-            f"{_q(expected)} AS expected FROM {table} WHERE NOT ({p})"
+            f"SELECT {keys_sql}, {_q(c.rule_id)} AS rule_id, "
+            f"{_q(c.column)} AS \"column\", "
+            f"{_q(c.keyword)} AS keyword, CAST({c.column} AS VARCHAR) AS observed, "
+            f"{_q(expected)} AS expected FROM {table} WHERE NOT ({c.pred})"
         )
     return " UNION ALL ".join(parts)
 
@@ -505,7 +535,7 @@ def verdict_sql(
             f"FROM {table} GROUP BY 1"
         )
     nviol = " + ".join(
-        f"(CASE WHEN NOT ({p}) THEN 1 ELSE 0 END)" for _, p in selects
+        f"(CASE WHEN NOT ({c.pred}) THEN 1 ELSE 0 END)" for c in selects
     )
     return f"""
     SELECT {alias},

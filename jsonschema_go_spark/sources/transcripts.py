@@ -155,9 +155,22 @@ GEN_VERSION = 1
 #: scale factor → conversation count for the driver/bench scales
 SF_CONVS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}
 
+def _default_stage_dir() -> str:
+    """Repo-root ``.stage`` derived from the PACKAGE location (env-overridable
+    via ``SPARK_GRAFT_STAGE_DIR``) — the round-3 hard-coded absolute path
+    broke the static oracle SQL whenever the repo was relocated."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+    if env:
+        return env
+    here = os.path.dirname(os.path.abspath(__file__))  # .../sources
+    return os.path.join(os.path.dirname(os.path.dirname(here)), ".stage")
+
+
 #: staged transcript parquet root. Inside the repo (gitignored) so the
 #: DuckDB-oracle SQL can reference a stable absolute path.
-STAGE_DIR = "/root/repo/.stage"
+STAGE_DIR = _default_stage_dir()
 
 
 def stage_transcripts(spark: SparkSession, sf: str, seed: int = 42) -> str:
@@ -168,15 +181,37 @@ def stage_transcripts(spark: SparkSession, sf: str, seed: int = 42) -> str:
     not an in-memory generator — and it is what lets the driver's DuckDB
     oracle see the identical rows (``read_parquet`` on the same files). The
     write is idempotent: data is deterministic for (GEN_VERSION, sf, seed),
-    so an existing ``_SUCCESS`` marker skips the write.
+    so an existing ``_SUCCESS`` marker skips the write; the write itself goes
+    to a temp directory and is atomically ``rename``d into place, so a
+    concurrent session (driver gate vs pytest vs verify_driver) either sees
+    the complete table or none of it — never a mid-overwrite read. Losing a
+    creation race is harmless: both writers produce identical deterministic
+    bytes, the loser just discards its copy.
     """
     import os
+    import shutil
 
     n_convs = SF_CONVS.get(sf, 1_000)
     path = f"{STAGE_DIR}/transcripts_v{GEN_VERSION}_sf{sf}"
     if not os.path.exists(f"{path}/_SUCCESS"):
-        df = generate_transcripts(spark, num_convs=n_convs, seed=seed)
-        df.write.mode("overwrite").parquet(path)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        generate_transcripts(spark, num_convs=n_convs, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if os.path.exists(f"{path}/_SUCCESS"):
+                # a concurrent writer won with a complete (identical) table
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # stale partial leftover (e.g. a crashed non-atomic writer):
+                # replace it; if yet another racer slips in, keep theirs
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

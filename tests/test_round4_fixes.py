@@ -113,6 +113,73 @@ def test_connected_components_one_action_per_round(spark):
     assert len(jobs) == 1 + dd._LAST_ROUNDS + 1
 
 
+def test_violations_sql_rejects_unrenderable_observed():
+    """ADVICE r3: the CAST(col AS VARCHAR) `observed` rendering only
+    byte-matches Spark for string/integer/timestamp columns — other elem
+    types must be rejected loudly, not silently mis-hashed."""
+    from jsonschema_go_spark.oracle import violations_sql
+    from jsonschema_go_spark.rules import Rule, TableRule
+
+    tr = TableRule(
+        name="t",
+        columns={"v": Rule(type="number", minimum=0.0)},
+        metadata={},
+    )
+    with pytest.raises(ValueError, match="not byte-stable"):
+        violations_sql(tr, "t", ["v"], {"v": "double"})
+
+
+def test_check_preds_carry_column_and_keyword():
+    """ADVICE r3: (column, keyword) come from the CheckPred fields, never
+    from rsplit('.') on the rule_id — a dotted column name must round-trip."""
+    from jsonschema_go_spark.oracle import check_preds_sql, violations_sql
+    from jsonschema_go_spark.rules import Rule, TableRule
+
+    tr = TableRule(
+        name="t",
+        columns={'"a.b"': Rule(type="string", min_length=1)},
+        metadata={},
+    )
+    preds = check_preds_sql(tr, {'"a.b"': "string"})
+    # `type` is statically elided on a typed string column; minLength remains
+    assert [(c.column, c.keyword) for c in preds] == [('"a.b"', "minLength")]
+    sql = violations_sql(tr, "t", ['"a.b"'], {'"a.b"': "string"})
+    # the rendered column/keyword literals are the true pair, not a split
+    assert "'\"a.b\"' AS \"column\"" in sql and "'minLength' AS keyword" in sql
+
+
+def test_stage_transcripts_atomic_and_derived_dir(spark):
+    """ADVICE r3: staging writes to a temp dir and renames into place (a
+    reader never sees a partial table), recovers a stale partial dir, and
+    STAGE_DIR derives from the package location instead of a hard-coded
+    absolute path."""
+    import os
+    import shutil
+
+    from jsonschema_go_spark.sources import transcripts as tr
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(tr.__file__))
+    )
+    assert tr.STAGE_DIR == os.path.join(os.path.dirname(pkg_root), ".stage")
+
+    path = f"{tr.STAGE_DIR}/transcripts_v{tr.GEN_VERSION}_sf0.001"
+    shutil.rmtree(path, ignore_errors=True)
+    got = tr.stage_transcripts(spark, "0.001")
+    assert got == path and os.path.exists(f"{path}/_SUCCESS")
+    parent = os.path.dirname(path)
+    assert not [d for d in os.listdir(parent) if ".tmp-" in d]
+
+    # stale partial leftover (no _SUCCESS) is replaced by a complete table
+    shutil.rmtree(path)
+    os.makedirs(path)
+    with open(f"{path}/garbage.parquet", "w") as fh:
+        fh.write("not parquet")
+    tr.stage_transcripts(spark, "0.001")
+    assert os.path.exists(f"{path}/_SUCCESS")
+    assert not os.path.exists(f"{path}/garbage.parquet")
+
+
 def test_stored_ivf_ids_sidecar_prunes_both_lookup_modes(spark, tmp_path):
     """`_ids/` sidecar: query-by-id lookup reads ONLY the queries' home-cell
     partitions (plus the tiny sidecar), and results equal both the

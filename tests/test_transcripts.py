@@ -208,10 +208,15 @@ def test_violation_annotations_match_compiled_checks(spark):
     df = generate_transcripts(spark, num_convs=5, seed=42)
     plan = compile_table(tr, df.schema)
     required = set(tr.metadata.get("required", []))
-    oracle_ids = [rid for rid, _ in check_preds_sql(tr, ELEM_TYPES)]
-    assert oracle_ids == plan.rule_ids
+    preds = check_preds_sql(tr, ELEM_TYPES)
+    assert [c.rule_id for c in preds] == plan.rule_ids
+    by_id = {c.rule_id: c for c in preds}
     for ch in plan.checks:
-        col, kw = ch.rule_id.rsplit(".", 1)
-        assert col == ch.column and kw == ch.keyword
-        key = "column-required" if (kw == "required" and col in required) else kw
-        assert expected_annotation(tr.columns.get(col, True), key) == ch.expected
+        c = by_id[ch.rule_id]
+        assert c.column == ch.column and c.keyword == ch.keyword
+        key = (
+            "column-required"
+            if (c.keyword == "required" and c.column in required)
+            else c.keyword
+        )
+        assert expected_annotation(tr.columns.get(c.column, True), key) == ch.expected
