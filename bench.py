@@ -40,11 +40,16 @@ def run_noop(df):
 
 #: the round-1 query set — a STABLE subtotal (`headline25_sec`) so
 #: cross-round comparisons don't need manual subset arithmetic as the full
-#: timed suite keeps growing. Caveat recorded per round: member workloads can
-#: change (round 3 rescoped `embedding_neardup` from sample×full-corpus to
-#: within-sample audit pairs, ~35% fewer compares — that drop is scope, not
-#: speedup). Any member missing from a run is reported in
-#: `headline25_missing` instead of being silently summed as zero.
+#: timed suite keeps growing. Caveats recorded per round: member workloads
+#: can change (round 3 rescoped `embedding_neardup` from sample×full-corpus
+#: to within-sample audit pairs, ~35% fewer compares, AND the
+#: `transcript_validation` member — timed here as the generate→validate
+#: block at the bench sf, ~600k turns at sf0.1 — replaced the round-2
+#: number, which had covered the sf-scaled in-memory path; the GATED query
+#: of that name is pinned to the sf0.01 staged table, ~10× less work than
+#: the sf0.1 bench block, so cross-round headline25 deltas must not be read
+#: as like-for-like for those two members). Any member missing from a run is
+#: reported in `headline25_missing` instead of being silently summed as zero.
 HEADLINE25 = [
     "ann_topk_embeddings", "chi_square_events", "col_stats_events",
     "contiguity_lineitem", "dedup_exact_documents", "dedup_jaccard_documents",
@@ -74,7 +79,30 @@ def main() -> None:
         transcript_table_rule,
     )
 
+    import statistics
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
+
+    def timed(name: str, thunk) -> None:
+        """1 warm-up + n_runs timed executions; the reported number is the
+        MEDIAN (round-3 lesson: single-shot timings on a shared box showed
+        ~2x spread on sub-5s queries, producing phantom cross-round
+        regressions on untouched plans)."""
+        thunk()  # warm-up: JIT + codegen + file metadata
+        ts = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            thunk()
+            ts.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(ts), 4)
+        spread[name] = {
+            "median": timings[name],
+            "min": round(min(ts), 4),
+            "max": round(max(ts), 4),
+        }
+
     queries = get_queries()
     # recall reports are meta-measurements (each runs brute force + several
     # IVF configurations and compares them) — they belong in the correctness
@@ -86,10 +114,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     for name, fn in sorted(queries.items()):
-        run_noop(fn(spark, sf_dir))  # warm-up: JIT + codegen + file metadata
-        t0 = time.perf_counter()
-        run_noop(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timed(name, lambda fn=fn: run_noop(fn(spark, sf_dir)))
 
     # transcript validation throughput (turns/sec) — the BASELINE metric.
     # Scale transcript volume with the bench sf (~600k turns at sf0.1).
@@ -99,12 +124,14 @@ def main() -> None:
     from jsonschema_go_spark.lineage import bucket_expr
 
     plan = compile_table(transcript_table_rule(), tdf.schema)
-    t0 = time.perf_counter()
-    run_noop(plan.flags(tdf, ["conv_id", "turn_idx"]))
-    run_noop(plan.violations(tdf, ["conv_id", "turn_idx"], ordered=False))
-    run_noop(plan.verdicts(tdf, bucket_expr("conv_id", 1024)))
-    validate_sec = time.perf_counter() - t0
-    timings["transcript_validation"] = round(validate_sec, 4)
+
+    def _validate() -> None:
+        run_noop(plan.flags(tdf, ["conv_id", "turn_idx"]))
+        run_noop(plan.violations(tdf, ["conv_id", "turn_idx"], ordered=False))
+        run_noop(plan.verdicts(tdf, bucket_expr("conv_id", 1024)))
+
+    timed("transcript_validation", _validate)
+    validate_sec = timings["transcript_validation"]
     turns_per_sec = round(n_turns / validate_sec, 1) if validate_sec > 0 else 0.0
     tdf.unpersist()
 
@@ -120,11 +147,16 @@ def main() -> None:
                 "headline25_sec": headline25,
                 "headline25_missing": h25_missing,
                 "queries": timings,
+                "queries_spread": spread,
+                "runs_per_query": n_runs,
                 "sf": sf,
                 "turns_per_sec": turns_per_sec,
                 "transcript_turns": n_turns,
                 "cpus": cpus,
-                "timing": "warm (1 warm-up run per query; steady-state)",
+                "timing": (
+                    f"warm (1 warm-up + {n_runs} timed runs per query; "
+                    "reported values are per-query MEDIANS)"
+                ),
             }
         )
     )
