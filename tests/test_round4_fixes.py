@@ -96,7 +96,9 @@ def test_connected_components_one_action_per_round(spark):
         sc.setJobGroup("cc-r4", "fused convergence probe")
         got = {
             (r["node"], r["component"])
-            for r in dd.connected_components(pairs).collect()
+            for r in dd.connected_components(
+                pairs, local_finish_threshold=0
+            ).collect()
         }
         jobs = sc.statusTracker().getJobIdsForGroup("cc-r4")
     finally:
@@ -111,6 +113,28 @@ def test_connected_components_one_action_per_round(spark):
     #       + 1 (final collect)
     assert dd._LAST_ROUNDS >= 2
     assert len(jobs) == 1 + dd._LAST_ROUNDS + 1
+
+
+def test_cc_local_finish_matches_distributed(spark):
+    """Small-graph cutoff: once the contracted edge set drops below the
+    threshold, the driver-side union-find finish must produce EXACTLY the
+    distributed fixpoint's (node, min-id component) labels — same rows, same
+    schema — on a mixed graph (chain + triangle + isolated pair + star)."""
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain
+        (10, 11), (11, 12), (10, 12),            # triangle
+        (20, 21),                                # pair
+        (30, 31), (30, 32), (30, 33),            # star (hub 30)
+        (5, 33),                                 # bridge chain<->star
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = dd.connected_components(pairs, local_finish_threshold=100_000)
+    dist = dd.connected_components(pairs, local_finish_threshold=0)
+    assert local.schema == dist.schema
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, dist.collect()))
+    # the cutoff actually fired (graph is far below the threshold)
+    comp = {r["node"]: r["component"] for r in local.collect()}
+    assert comp[33] == 1 and comp[12] == 10 and comp[21] == 20
 
 
 def test_violations_sql_rejects_unrenderable_observed():
