@@ -752,6 +752,45 @@ def _multimodal_oracle() -> str:
 _register("multimodal_features", q_multimodal_features, _multimodal_oracle())
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame-sample plumbing under the hard gate: `sample_frames` emits
+    ``min(n_frames, len(payload))`` evenly-spaced byte slices per asset via
+    Arrow mapInPandas (output rows ≠ input rows — the real frame-sampler
+    shape). The gate byte-matches the slice ARITHMETIC (frame_idx,
+    frame_bytes = ((i+1)·n)//k − (i·n)//k) — fully mirrorable in SQL from
+    octet_length alone, no blob functions needed; only the slice CONTENT
+    stays stub-decoded (sandbox has no ffmpeg)."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    assets = mm.synthesize_assets(docs, "doc_id", "text")
+    frames = mm.sample_frames(assets, n_frames=4)
+    return frames.select("asset_id", "frame_idx", "frame_bytes").orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+_register(
+    "multimodal_frames",
+    q_multimodal_frames,
+    """
+    WITH assets AS (
+      SELECT doc_id::BIGINT AS asset_id,
+             octet_length(encode(coalesce(text, ''))) AS nb
+      FROM documents WHERE doc_id < 100
+    ),
+    k AS (SELECT asset_id, nb, least(4, nb) AS nf FROM assets WHERE nb > 0),
+    f AS (
+      SELECT asset_id, nb, nf,
+             unnest(generate_series(0, nf - 1)) AS frame_idx
+      FROM k
+    )
+    SELECT asset_id, frame_idx::INT AS frame_idx,
+           ((((frame_idx + 1) * nb) // nf) - ((frame_idx * nb) // nf))::INT
+             AS frame_bytes
+    FROM f ORDER BY asset_id, frame_idx
+    """,
+)
+
+
 #: column → sql_pred elem-type hints for the staged transcript table
 _TRANSCRIPT_ELEM_TYPES = {
     "conv_id": "string", "turn_idx": "integer", "role": "string",
