@@ -547,6 +547,51 @@ def _ivf_recall_rows(
     )
 
 
+def q_ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (sign-LSH) under the hard gate: candidates restricted to
+    the query's 8-plane hyperplane bucket, exact cosine rank within it. The
+    md5-derived ±1 plane matrix is a deterministic constant, so the oracle
+    embeds the same 8×64 sign literals and reproduces the identical bucket
+    strings (same sequential-fold float sums on both engines — the
+    established `_DOT` parity) and identical top-k rows."""
+    df = _read(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(
+        df, "vec_id", "embedding", _ANN_QUERY_IDS, dim=64, k=5, planes=8
+    )
+
+
+def _lsh_topk_oracle(dim: int = 64, planes: int = 8, seed: int = 42) -> str:
+    bits = []
+    for p in range(planes):
+        terms = " + ".join(
+            f"({sim._plane_sign(p, j, seed):+.1f}) * embedding[{j + 1}]::DOUBLE"
+            for j in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bits)
+    qids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+      WHERE vec_id IN ({qids})
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, {_COS} AS cos
+      FROM q JOIN b c USING (bucket) WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank::INT AS rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+_register("ann_lsh_topk_embeddings", q_ann_lsh_topk_embeddings, _lsh_topk_oracle())
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: recall@5 of probe-limited IVF vs brute force per n_probe —
     makes the accuracy/cost trade of the 100 TB path visible
