@@ -836,6 +836,48 @@ _register(
 )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing under the hard gate, FULL CONTENT: the stub "resize"
+    tiles the payload bytes to exactly width×height bytes; the gate compares
+    the complete resized buffer as hex — byte-level equality, strictly
+    stronger than a checksum (DuckDB has hex(BLOB) but no blob slicing, so
+    the oracle tiles the HEX STRING at 2-chars-per-byte granularity). Only
+    the decode body is a stub; the Arrow batch shape, schema, and byte
+    construction are what's being checked."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    assets = mm.synthesize_assets(docs, "doc_id", "text")
+    resized = mm.resize_images(assets, width=16, height=16)
+    return resized.select(
+        "asset_id",
+        "width",
+        "height",
+        F.lower(F.hex(F.col("resized"))).alias("resized_hex"),
+    ).orderBy("asset_id")
+
+
+def _multimodal_resize_oracle(width: int = 16, height: int = 16) -> str:
+    target = width * height
+    return f"""
+    WITH assets AS (
+      SELECT doc_id::BIGINT AS asset_id,
+             encode(coalesce(text, '')) AS payload
+      FROM documents WHERE doc_id < 100
+    ),
+    h AS (
+      SELECT asset_id, octet_length(payload) AS nb, lower(hex(payload)) AS ph
+      FROM assets
+    )
+    SELECT asset_id, {width}::INT AS width, {height}::INT AS height,
+           CASE WHEN nb = 0 THEN repeat('00', {target})
+                ELSE substring(repeat(ph, ({target} // nb) + 1), 1, {2 * target})
+           END AS resized_hex
+    FROM h ORDER BY asset_id
+    """
+
+
+_register("multimodal_resize", q_multimodal_resize, _multimodal_resize_oracle())
+
+
 #: column → sql_pred elem-type hints for the staged transcript table
 _TRANSCRIPT_ELEM_TYPES = {
     "conv_id": "string", "turn_idx": "integer", "role": "string",
