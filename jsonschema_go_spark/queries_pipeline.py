@@ -960,6 +960,51 @@ def _transcript_violations_oracle() -> str:
 _register("transcript_violations", q_transcript_violations, _transcript_violations_oracle())
 
 
+def q_transcript_violations_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule-capped violation sampling under the hard gate: the
+    triage-bounded output (first ``max_per_rule`` failing rows per rule in
+    (conv_id, turn_idx) order, two-phase salted ranking) must byte-match a
+    plain ``row_number ... QUALIFY`` mirror over the same check predicates.
+    Determinism note: key ties can only occur between rows identical in
+    EVERY output column (two -1-injected turns of one conversation fail the
+    same rule with the same observed/expected), so the cap selects an
+    identical multiset regardless of tie order. Cap 10 < several per-rule
+    failure counts at sf0.01, so the cap genuinely bites."""
+    from .compile import compile_table
+    from .sources.transcripts import stage_transcripts, transcript_table_rule
+
+    df = spark.read.parquet(stage_transcripts(spark, "0.01"))
+    plan = compile_table(transcript_table_rule(), df.schema)
+    return plan.violations_sampled(df, ["conv_id", "turn_idx"], max_per_rule=10)
+
+
+def _transcript_violations_sampled_oracle(cap: int = 10) -> str:
+    from .oracle import violations_sql
+    from .sources.transcripts import GEN_VERSION, STAGE_DIR, transcript_table_rule
+
+    path = f"{STAGE_DIR}/transcripts_v{GEN_VERSION}_sf0.01"
+    body = violations_sql(
+        transcript_table_rule(),
+        "transcripts",
+        ["conv_id", "turn_idx"],
+        _TRANSCRIPT_ELEM_TYPES,
+    )
+    return f"""
+    WITH transcripts AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+    v AS ({body})
+    SELECT conv_id, turn_idx, rule_id, "column", keyword, observed, expected
+    FROM v
+    QUALIFY row_number() OVER (PARTITION BY rule_id ORDER BY conv_id, turn_idx) <= {cap}
+    """
+
+
+_register(
+    "transcript_violations_sampled",
+    q_transcript_violations_sampled,
+    _transcript_violations_sampled_oracle(),
+)
+
+
 def _staged_transcripts(spark: SparkSession) -> DataFrame:
     from .sources.transcripts import stage_transcripts
 
