@@ -1017,6 +1017,38 @@ def _transcript_path() -> str:
     return f"{STAGE_DIR}/transcripts_v{GEN_VERSION}_sf0.01"
 
 
+def q_transcript_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level FLAGS gate — the widest literal surface: one boolean
+    pass-flag per compiled check for EVERY row of the staged table
+    (60,986 × 13 at sf0.01), byte-matched against the same predicates
+    rendered in SQL (`oracle.check_preds_sql` — identical check list by
+    construction). Complements `transcript_validation` (aggregated
+    verdicts) and `transcript_violations` (failing rows only): this one
+    pins every individual (row, check) boolean."""
+    from .compile import compile_table
+    from .sources.transcripts import stage_transcripts, transcript_table_rule
+
+    df = spark.read.parquet(stage_transcripts(spark, "0.01"))
+    plan = compile_table(transcript_table_rule(), df.schema)
+    return plan.flags(df, ["conv_id", "turn_idx"])
+
+
+def _transcript_flags_oracle() -> str:
+    from .oracle import check_preds_sql
+    from .sources.transcripts import GEN_VERSION, STAGE_DIR, transcript_table_rule
+
+    path = f"{STAGE_DIR}/transcripts_v{GEN_VERSION}_sf0.01"
+    preds = check_preds_sql(transcript_table_rule(), _TRANSCRIPT_ELEM_TYPES)
+    cols = ", ".join(f'({c.pred}) AS "{c.rule_id}"' for c in preds)
+    return (
+        f"SELECT conv_id, turn_idx, {cols} "
+        f"FROM read_parquet('{path}/*.parquet')"
+    )
+
+
+_register("transcript_flags", q_transcript_flags, _transcript_flags_oracle())
+
+
 def q_transcript_contiguity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-scope referential check, row-level gate: per-row chain-break
     attribution (window lag) over the staged transcripts — the injected
