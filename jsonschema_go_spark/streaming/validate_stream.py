@@ -114,6 +114,38 @@ def violation_sink_stream(
     )
 
 
+def exact_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EXACT DEDUP (7th mode): emit only the first-seen row per
+    content fingerprint — the streaming face of
+    :func:`operators.dedup.exact_duplicates`, using the SAME md5-of-normal-
+    form fingerprint expression.
+
+    State is bounded via ``dropDuplicatesWithinWatermark``: a fingerprint's
+    dedup state is evicted once the event-time watermark passes it, so state
+    size tracks the distinct-fingerprint arrival rate within the lateness
+    horizon, not the stream's full history — the standard streaming-dedup
+    trade (duplicates separated by more than the horizon pass through;
+    batch reconciliation catches those). Null-text rows carry no
+    fingerprint and pass through un-deduped, matching the batch operator's
+    ``isNotNull`` scope.
+    """
+    from ..operators.text import fingerprint
+
+    with_fp = stream.withColumn("_fp", fingerprint(F.col(text_col))).withWatermark(
+        ts_col, watermark
+    )
+    deduped = with_fp.where(F.col("_fp").isNotNull()).dropDuplicatesWithinWatermark(
+        ["_fp"]
+    )
+    passthrough = with_fp.where(F.col("_fp").isNull())
+    return deduped.unionByName(passthrough).drop("_fp")
+
+
 def windowed_category_counts(
     stream: DataFrame,
     value_col: str,

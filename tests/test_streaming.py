@@ -52,6 +52,37 @@ def test_violation_stream_equals_batch(stream_env):
     assert got.exceptAll(want).count() == 0
 
 
+def test_exact_dedup_stream(stream_env):
+    """Streaming exact dedup (7th mode): one output row per distinct
+    fingerprint; the kept-fingerprint SET equals the batch operator's
+    distinct fingerprints (which row survives depends on arrival order, so
+    only the set + counts are asserted); null-text rows pass through."""
+    from jsonschema_go_spark.operators.text import fingerprint
+    from jsonschema_go_spark.streaming.validate_stream import exact_dedup_stream
+
+    spark, batch, stream, plan, root = stream_env
+    _run(exact_dedup_stream(stream), "append", root, "dedup")
+    got = spark.sql("SELECT * FROM dedup")
+    n_null = batch.where(F.col("text").isNull()).count()
+    want_fps = {
+        r["fp"]
+        for r in batch.where(F.col("text").isNotNull())
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert got.count() == len(want_fps) + n_null
+    got_fps = {
+        r["fp"]
+        for r in got.where(F.col("text").isNotNull())
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert got_fps == want_fps
+    assert got.where(F.col("text").isNull()).count() == n_null
+    assert set(got.columns) == set(batch.columns)  # _fp dropped
+
+
 def test_windowed_counts(stream_env):
     spark, batch, stream, plan, root = stream_env
     _run(
