@@ -6,10 +6,10 @@
 #   spark-submit --py-files dist/jsonschema_go_spark.zip \
 #       --conf spark.sql.adaptive.enabled=true \
 #       --conf spark.sql.adaptive.skewJoin.enabled=true \
-#       run_validate.py --input s3://bucket/transcripts --run-id r1 ...
+#       jsonschema_go_spark/runner.py --input s3://bucket/transcripts --run-id r1 ...
 #
-# (runner entry: python -m jsonschema_go_spark.runner works too once the zip
-#  is on PYTHONPATH of driver+executors.)
+# (python -m jsonschema_go_spark.runner works too once the zip is on
+#  PYTHONPATH of driver+executors.)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p dist

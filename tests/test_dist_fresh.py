@@ -34,3 +34,18 @@ def test_dist_zip_matches_source_tree():
         f"dist/jsonschema_go_spark.zip is stale vs the source tree for "
         f"{stale} — re-run scripts/package.sh and commit the refreshed zip"
     )
+
+
+def test_no_row_at_a_time_python_udfs():
+    """The engine's UDF contract: Python surfaces are Arrow-batched only
+    (pandas_udf / mapInPandas / applyInPandasWithState). A row-at-a-time
+    `F.udf(...)` anywhere in the package is a hot-path regression."""
+    hits = []
+    for p in (ROOT / "jsonschema_go_spark").rglob("*.py"):
+        if "__pycache__" in p.parts:
+            continue
+        src = p.read_text()
+        for needle in ("F.udf(", "functions.udf(", "@udf("):
+            if needle in src:
+                hits.append((str(p.relative_to(ROOT)), needle))
+    assert not hits, f"row-at-a-time Python UDFs found: {hits}"
