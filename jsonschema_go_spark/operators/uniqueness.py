@@ -142,3 +142,52 @@ def monotonic_violations(
         .select(partition_by, order_by, F.col(column).alias("observed"),
                 F.col("_prev").alias("previous"))
     )
+
+
+def fk_orphans(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """CROSS-TABLE referential integrity: child rows whose foreign key has
+    no matching parent row (SQL FK semantics: NULL FKs pass — a NULL
+    reference is "no reference", not an orphan).
+
+    Scale shape: the check only needs the parent's DISTINCT KEY SET, so
+    only (key) columns move — with ``broadcast_parent`` (dimension tables:
+    the common case) the anti-join is a broadcast hash join, zero shuffle
+    of the child. For big-big pairs pass ``False``: a plain shuffle
+    anti-join on the key, which AQE converts back to broadcast when the
+    deduped key set turns out small at runtime.
+    """
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    return child.where(F.col(child_key).isNotNull()).join(
+        keys, child_key, "left_anti"
+    )
+
+
+def fk_conformance(fks) -> DataFrame:
+    """Per-FK conformance summary → ``(fk, child_rows, orphan_rows)`` for a
+    list of ``(name, child_df, child_key, parent_df, parent_key)`` tuples —
+    one lazy plan (union of per-FK aggregate branches), one action.
+    ``child_rows`` counts non-NULL-FK rows (the checked population)."""
+    parts = []
+    for name, child, ck, parent, pk in fks:
+        nonnull = child.where(F.col(ck).isNotNull())
+        total = nonnull.agg(F.count(F.lit(1)).alias("child_rows"))
+        orph = fk_orphans(child, ck, parent, pk).agg(
+            F.count(F.lit(1)).alias("orphan_rows")
+        )
+        parts.append(
+            total.crossJoin(orph).select(
+                F.lit(name).alias("fk"), "child_rows", "orphan_rows"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

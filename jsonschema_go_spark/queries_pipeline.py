@@ -878,6 +878,120 @@ def _multimodal_resize_oracle(width: int = 16, height: int = 16) -> str:
 _register("multimodal_resize", q_multimodal_resize, _multimodal_resize_oracle())
 
 
+# ----------------------------------------- cross-table referential checks
+
+def _orphan_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer corpus with deterministic FK orphans: every 100th customer
+    re-inserted under a shifted PK with c_nationkey pushed out of nation's
+    key range (same construction in SQL)."""
+    cust = _read(spark, sf_dir, "customer")
+    bad = cust.where(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        "c_name",
+        (F.col("c_nationkey") + F.lit(1000)).alias("c_nationkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return cust.unionByName(bad)
+
+
+_ORPHAN_CUSTOMER_SQL = (
+    "SELECT * FROM customer UNION ALL "
+    "SELECT c_custkey + 1000000 AS c_custkey, c_name, "
+    "c_nationkey + 1000 AS c_nationkey, c_acctbal, c_mktsegment "
+    "FROM customer WHERE c_custkey % 100 = 0"
+)
+
+
+def q_fk_conformance_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE referential integrity over the full TPC-H-ish dimension
+    chain (region ← nation ← {customer, supplier}; orders → customer;
+    lineitem → part) — the validation-engine surface the within-table
+    contiguity checks don't cover. Two children carry injected orphans so
+    the gate is non-vacuous; the clean FKs pin exact zeros. Each anti-join
+    moves only the parent's distinct key set (broadcast for dims)."""
+    from .operators import uniqueness as uq
+
+    li = _read(spark, sf_dir, "lineitem")
+    bad_li = li.where(
+        (F.col("l_orderkey") % 500 == 0) & (F.col("l_linenumber") == 1)
+    ).withColumn("l_partkey", F.col("l_partkey") + F.lit(10_000_000))
+    fks = [
+        ("customer.nationkey", _orphan_customer(spark, sf_dir), "c_nationkey",
+         _read(spark, sf_dir, "nation"), "n_nationkey"),
+        ("lineitem.partkey", li.unionByName(bad_li), "l_partkey",
+         _read(spark, sf_dir, "part"), "p_partkey"),
+        ("nation.regionkey", _read(spark, sf_dir, "nation"), "n_regionkey",
+         _read(spark, sf_dir, "region"), "r_regionkey"),
+        ("orders.custkey", _read(spark, sf_dir, "orders"), "o_custkey",
+         _read(spark, sf_dir, "customer"), "c_custkey"),
+        ("supplier.nationkey", _read(spark, sf_dir, "supplier"), "s_nationkey",
+         _read(spark, sf_dir, "nation"), "n_nationkey"),
+    ]
+    return uq.fk_conformance(fks).orderBy("fk")
+
+
+def _fk_count_sql(name: str, child_sql: str, ck: str, parent: str, pk: str) -> str:
+    return (
+        f"SELECT '{name}' AS fk, "
+        f"(SELECT COUNT(*) FROM ({child_sql}) WHERE {ck} IS NOT NULL)::BIGINT AS child_rows, "
+        f"(SELECT COUNT(*) FROM ({child_sql}) WHERE {ck} IS NOT NULL "
+        f"AND {ck} NOT IN (SELECT {pk} FROM {parent}))::BIGINT AS orphan_rows"
+    )
+
+
+_BAD_LINEITEM_SQL = (
+    "SELECT * REPLACE (l_partkey + 10000000 AS l_partkey) FROM lineitem "
+    "WHERE l_orderkey % 500 = 0 AND l_linenumber = 1"
+)
+
+_register(
+    "fk_conformance_tpch",
+    q_fk_conformance_tpch,
+    " UNION ALL ".join(
+        [
+            _fk_count_sql("customer.nationkey", _ORPHAN_CUSTOMER_SQL,
+                          "c_nationkey", "nation", "n_nationkey"),
+            _fk_count_sql("lineitem.partkey",
+                          f"SELECT * FROM lineitem UNION ALL {_BAD_LINEITEM_SQL}",
+                          "l_partkey", "part", "p_partkey"),
+            _fk_count_sql("nation.regionkey", "SELECT * FROM nation",
+                          "n_regionkey", "region", "r_regionkey"),
+            _fk_count_sql("orders.custkey", "SELECT * FROM orders",
+                          "o_custkey", "customer", "c_custkey"),
+            _fk_count_sql("supplier.nationkey", "SELECT * FROM supplier",
+                          "s_nationkey", "nation", "n_nationkey"),
+        ]
+    )
+    + " ORDER BY fk",
+)
+
+
+def q_fk_orphan_rows_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level FK gate: the orphan customer ROWS themselves (the triage
+    output a pipeline acts on), byte-matched."""
+    from .operators import uniqueness as uq
+
+    orphans = uq.fk_orphans(
+        _orphan_customer(spark, sf_dir), "c_nationkey",
+        _read(spark, sf_dir, "nation"), "n_nationkey",
+    )
+    return orphans.select("c_custkey", "c_nationkey", "c_name").orderBy("c_custkey")
+
+
+_register(
+    "fk_orphan_rows_customer",
+    q_fk_orphan_rows_customer,
+    f"""
+    WITH cust AS ({_ORPHAN_CUSTOMER_SQL})
+    SELECT c_custkey, c_nationkey, c_name FROM cust
+    WHERE c_nationkey IS NOT NULL
+      AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    ORDER BY c_custkey
+    """,
+)
+
+
 #: column → sql_pred elem-type hints for the staged transcript table
 _TRANSCRIPT_ELEM_TYPES = {
     "conv_id": "string", "turn_idx": "integer", "role": "string",

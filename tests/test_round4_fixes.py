@@ -137,6 +137,27 @@ def test_cc_local_finish_matches_distributed(spark):
     assert comp[33] == 1 and comp[12] == 10 and comp[21] == 20
 
 
+def test_fk_orphans_null_semantics_and_broadcast(spark):
+    """Cross-table FK check: NULL FKs pass (SQL semantics — no reference is
+    not an orphan), orphans are exact, and the dimension-side anti-join is a
+    broadcast hash join (zero shuffle of the child)."""
+    from jsonschema_go_spark.operators import uniqueness as uq
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 20)], "id long, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk int")
+    orphans = uq.fk_orphans(child, "fk", parent, "pk")
+    assert {r["id"] for r in orphans.collect()} == {2}
+    plan = orphans._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    summary = uq.fk_conformance(
+        [("child.fk", child, "fk", parent, "pk")]
+    ).collect()
+    assert [tuple(r) for r in summary] == [("child.fk", 3, 1)]
+
+
 def test_violations_sql_rejects_unrenderable_observed():
     """ADVICE r3: the CAST(col AS VARCHAR) `observed` rendering only
     byte-matches Spark for string/integer/timestamp columns — other elem
