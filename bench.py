@@ -28,6 +28,7 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
@@ -104,11 +105,10 @@ def main() -> None:
         }
 
     queries = get_queries()
-    # recall reports are meta-measurements (each runs brute force + several
-    # IVF configurations and compares them) — they belong in the correctness
+    # the recall report is a meta-measurement (it runs brute force + several
+    # IVF configurations and compares them) — it belongs in the correctness
     # gate, not in per-operator wall timings
     queries.pop("ann_recall_report", None)
-    queries.pop("ann_recall_clustered", None)
 
     # warm the JVM/codegen once on the smallest table
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -138,28 +138,34 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     h25_missing = [q for q in HEADLINE25 if q not in timings]
     headline25 = round(sum(timings.get(q, 0.0) for q in HEADLINE25), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "headline25_sec": headline25,
-                "headline25_missing": h25_missing,
-                "queries": timings,
-                "queries_spread": spread,
-                "runs_per_query": n_runs,
-                "sf": sf,
-                "turns_per_sec": turns_per_sec,
-                "transcript_turns": n_turns,
-                "cpus": cpus,
-                "timing": (
-                    f"warm (1 warm-up + {n_runs} timed runs per query; "
-                    "reported values are per-query MEDIANS)"
-                ),
-            }
-        )
+    # ONE compact stdout line — round-4 lesson: the full per-query
+    # {median,min,max} spread outgrew the driver's stdout-tail capture and
+    # BENCH_r04.json truncated mid-JSON. The spread detail goes to a side
+    # file instead.
+    line = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "headline25_sec": headline25,
+        "headline25_missing": h25_missing,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "runs_per_query": n_runs,
+        "sf": sf,
+        "turns_per_sec": turns_per_sec,
+        "transcript_turns": n_turns,
+        "cpus": cpus,
+        "timing": f"warm medians (1 warm-up + {n_runs} timed); spread in BENCH_SPREAD.json",
+    }
+    spread_path = os.environ.get(
+        "SPARK_GRAFT_SPREAD_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"),
     )
+    try:
+        with open(spread_path, "w") as f:
+            json.dump({"sf": sf, "cpus": cpus, "queries_spread": spread}, f, indent=1)
+    except OSError as ex:
+        print(f"warning: could not write spread file {spread_path}: {ex}", file=sys.stderr)
+    print(json.dumps(line))
     spark.stop()
 
 

@@ -567,11 +567,18 @@ def _stored_query_lookup(
     ``input_file_name``) — round 3 scanned the full index here.
     """
     qids = list(query_ids)
+    if not qids:
+        raise ValueError("query_ids must be non-empty")
     home = (
         spark.read.parquet(f"{path}/_ids")
         .where(F.col(id_col).isin(*qids))
         .collect()
     )
+    if len(home) < len(set(qids)):
+        missing = sorted(set(qids) - {r[id_col] for r in home})
+        raise KeyError(
+            f"query ids not present in stored index {path!r}: {missing}"
+        )
     home_cells = sorted({r["cell"] for r in home})
     index = spark.read.parquet(path)
     return index.where(

@@ -174,18 +174,34 @@ def fk_conformance(fks) -> DataFrame:
     """Per-FK conformance summary → ``(fk, child_rows, orphan_rows)`` for a
     list of ``(name, child_df, child_key, parent_df, parent_key)`` tuples —
     one lazy plan (union of per-FK aggregate branches), one action.
-    ``child_rows`` counts non-NULL-FK rows (the checked population)."""
+    ``child_rows`` counts non-NULL-FK rows (the checked population).
+
+    Scale shape: ONE scan of each child table per FK — a broadcast LEFT join
+    against the parent's distinct key set (keys-only, dims broadcast) with
+    conditional aggregation (``orphan_rows`` = unmatched rows), instead of
+    separate count + anti-join-count branches that would scan the (100 TB)
+    fact table twice. NULL parent keys never match the equi-join condition,
+    so semantics are identical to the anti-join form.
+    """
+    if not fks:
+        raise ValueError("fks must be non-empty")
     parts = []
     for name, child, ck, parent, pk in fks:
-        nonnull = child.where(F.col(ck).isNotNull())
-        total = nonnull.agg(F.count(F.lit(1)).alias("child_rows"))
-        orph = fk_orphans(child, ck, parent, pk).agg(
-            F.count(F.lit(1)).alias("orphan_rows")
+        keys = F.broadcast(
+            parent.select(F.col(pk).alias("__pk")).distinct()
+        )
+        joined = (
+            child.where(F.col(ck).isNotNull())
+            .select(F.col(ck))
+            .join(keys, F.col(ck) == F.col("__pk"), "left")
         )
         parts.append(
-            total.crossJoin(orph).select(
-                F.lit(name).alias("fk"), "child_rows", "orphan_rows"
-            )
+            joined.agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.coalesce(
+                    F.sum(F.col("__pk").isNull().cast("long")), F.lit(0)
+                ).alias("orphan_rows"),
+            ).select(F.lit(name).alias("fk"), "child_rows", "orphan_rows")
         )
     out = parts[0]
     for p in parts[1:]:

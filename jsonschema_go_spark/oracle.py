@@ -471,6 +471,12 @@ def violations_sql(
     expected)``. The north-rule's literal "materialized violation rows
     byte-match under stable ordering" gate.
 
+    ``elem_types`` is required in practice: it must cover EVERY checked
+    column with one of the byte-stable renderable types (``string`` /
+    ``integer`` / ``timestamp``) — the default ``'scalar'`` hint is rejected
+    below because its ``CAST(col AS VARCHAR)`` rendering is not guaranteed
+    byte-identical across engines (doubles, arrays, structs).
+
     Predicates come from :func:`check_preds_sql` (same list, same rule_ids as
     the compiled plan — summary-parity-tested); ``expected`` annotations come
     from :func:`compile.expected_annotation` (the same pure-Python table the

@@ -155,17 +155,33 @@ GEN_VERSION = 1
 #: scale factor → conversation count for the driver/bench scales
 SF_CONVS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}
 
-def _default_stage_dir() -> str:
+def _default_stage_dir(package_parent: str = None) -> str:
     """Repo-root ``.stage`` derived from the PACKAGE location (env-overridable
     via ``SPARK_GRAFT_STAGE_DIR``) — the round-3 hard-coded absolute path
-    broke the static oracle SQL whenever the repo was relocated."""
+    broke the static oracle SQL whenever the repo was relocated.
+    ``package_parent`` overrides the ``__file__``-derived location (tests)."""
     import os
 
     env = os.environ.get("SPARK_GRAFT_STAGE_DIR")
     if env:
         return env
-    here = os.path.dirname(os.path.abspath(__file__))  # .../sources
-    return os.path.join(os.path.dirname(os.path.dirname(here)), ".stage")
+    if package_parent is not None:
+        root = package_parent
+    else:
+        here = os.path.dirname(os.path.abspath(__file__))  # .../sources
+        root = os.path.dirname(os.path.dirname(here))
+    # Under --py-files the package is imported from INSIDE a zip archive —
+    # `root` then has a regular-file ancestor (the .zip) and a .stage dir
+    # cannot be created there. Fall back to a stable tmp path; deployments
+    # that need a shared location set SPARK_GRAFT_STAGE_DIR explicitly.
+    p = root
+    while p and p != os.path.dirname(p):
+        if os.path.isfile(p):
+            import tempfile
+
+            return os.path.join(tempfile.gettempdir(), "jsonschema_go_spark_stage")
+        p = os.path.dirname(p)
+    return os.path.join(root, ".stage")
 
 
 #: staged transcript parquet root. Inside the repo (gitignored) so the

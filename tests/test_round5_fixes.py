@@ -1,0 +1,187 @@
+"""Round-5 fixes (VERDICT.md r4 "Next round" items 1-4 + ADVICE r4):
+
+1. Registry fits the driver's observed 50-entry CORRECTNESS-snapshot cap
+   (r4 registered 52 and the driver recorded exactly the first 50 in
+   iteration order — the last two queries were silently uncovered).
+2. `fk_conformance` computes child_rows + orphan_rows in ONE scan of each
+   child table per FK (broadcast left join + conditional aggregation)
+   instead of separate count and anti-join-count branches.
+3. Plan-shape regression pins for the most expensive gated queries —
+   Exchange/Window/join-strategy counts — so a future refactor can't
+   silently reintroduce a shuffle or a per-row window. (Reference
+   test-strategy analog: golden-artifact equality,
+   ``/root/reference/reflect_test.go:36-85``, applied to physical plans.)
+4. ADVICE r4 guards: empty `query_ids` / absent ids in the stored-IVF
+   sidecar lookup, empty `fks` list, zip-deployment STAGE_DIR fallback.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_go_spark.operators import similarity as sim
+from jsonschema_go_spark.operators import uniqueness as uq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shape(plan: str) -> dict:
+    """Plan-shape fingerprint: shuffle exchanges (the scale-governing cost),
+    broadcast vs shuffle join strategies, and Window operators."""
+    return {
+        "shuffle_exchanges": len(re.findall(r"Exchange (hash|range|Single)", plan)),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "windows": len(re.findall(r"\bWindow\b", plan)),
+        "shuffle_joins": plan.count("ShuffledHashJoin") + plan.count("SortMergeJoin"),
+    }
+
+
+# ------------------------------------------------------------ registry cap
+
+
+def test_registry_fits_driver_snapshot_cap():
+    """The driver's per-round CORRECTNESS snapshot records at most the FIRST
+    50 queries() entries (observed r4: 52 registered, exactly the last 2
+    absent). Every registered query must fit under the cap, and the only
+    oracle-less entry is the recall META-report (no oracle possible)."""
+    from jsonschema_go_spark.queries import get_oracles, get_queries
+
+    q, o = get_queries(), get_oracles()
+    assert len(q) <= 50, (
+        f"{len(q)} queries() entries exceed the driver's 50-entry snapshot "
+        f"cap — entries past 50 would be unrecorded: {list(q)[50:]}"
+    )
+    assert set(o) <= set(q)
+    assert set(q) - set(o) == {"ann_recall_report"}
+
+
+# ------------------------------------------------- fk single-pass + guards
+
+
+def test_fk_conformance_single_scan_per_child(spark, tmp_path):
+    """One scan of the (100 TB) child table per FK: the summary plan reads
+    child and parent parquet exactly once each — a broadcast LEFT join with
+    conditional aggregation, not count + anti-join-count branches."""
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 20)], "id long, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk int")
+    cp, pp = str(tmp_path / "child"), str(tmp_path / "parent")
+    child.write.parquet(cp)
+    parent.write.parquet(pp)
+    c, p = spark.read.parquet(cp), spark.read.parquet(pp)
+
+    out = uq.fk_conformance([("child.fk", c, "fk", p, "pk")])
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert [tuple(r) for r in out.collect()] == [("child.fk", 3, 1)]
+
+
+def test_fk_conformance_empty_fks_raises():
+    with pytest.raises(ValueError, match="non-empty"):
+        uq.fk_conformance([])
+
+
+def test_fk_conformance_null_parent_key_harmless(spark):
+    """A NULL in the parent key set must not change orphan semantics (the
+    equi-join condition never matches NULL — identical to the anti-join)."""
+    child = spark.createDataFrame([(1, 10), (2, 99)], "id long, fk int")
+    parent = spark.createDataFrame([(10,), (None,)], "pk int")
+    got = uq.fk_conformance([("c.fk", child, "fk", parent, "pk")]).collect()
+    assert [tuple(r) for r in got] == [("c.fk", 2, 1)]
+
+
+# ------------------------------------------------- stored-IVF lookup guards
+
+
+def test_stored_lookup_empty_and_missing_ids(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(df, "vec_id", "embedding", path, n_cells=4)
+    with pytest.raises(ValueError, match="non-empty"):
+        sim._stored_query_lookup(spark, path, "vec_id", "embedding", [])
+    with pytest.raises(KeyError, match="99999999"):
+        sim._stored_query_lookup(
+            spark, path, "vec_id", "embedding", [0, 99999999]
+        )
+
+
+# ----------------------------------------------------- STAGE_DIR zip mode
+
+
+def test_stage_dir_zip_fallback(monkeypatch):
+    """Under --py-files the package root is INSIDE a zip — a sibling .stage
+    can't be created there, so the default must fall back to tmp (env
+    override still wins)."""
+    from jsonschema_go_spark.sources import transcripts as tr
+
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_DIR", raising=False)
+    zip_root = "/root/repo/dist/jsonschema_go_spark.zip"
+    assert os.path.isfile(zip_root)
+    got = tr._default_stage_dir(zip_root)
+    assert got.startswith(tempfile.gettempdir())
+    # plain directory root keeps the repo-local default
+    assert tr._default_stage_dir("/root/repo") == "/root/repo/.stage"
+    # env override wins in both modes
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", "/tmp/explicit-stage")
+    assert tr._default_stage_dir(zip_root) == "/tmp/explicit-stage"
+
+
+# --------------------------------------------------------- plan-shape pins
+
+#: golden plan shapes for the most expensive gated queries (empirical at
+#: sf0.001, AQE on — counts are partitioning-independent). A changed count
+#: means a deliberate plan change: re-derive and update the pin ALONGSIDE a
+#: bench comparison, never blindly.
+PLAN_PINS = {
+    "dedup_corpus_end2end": {
+        # corpus←clusters + sizes joins (shuffle: ids only) + orderBy; the
+        # iterative CC star rounds run eagerly before this plan exists
+        "shuffle_exchanges": 5, "broadcast_joins": 0,
+        "windows": 0, "shuffle_joins": 2,
+    },
+    "dedup_simhash_pairs": {
+        # two-level signature agg (2) + pigeonhole chunk equi-join (bc) —
+        # NO window, NO shuffle join: cost is arithmetic, not data motion
+        "shuffle_exchanges": 4, "broadcast_joins": 1,
+        "windows": 0, "shuffle_joins": 0,
+    },
+    "dedup_jaccard_documents": {
+        # shingle self-join under the hot-shingle cap; all joins broadcast
+        # at this sf (AQE re-plans to shuffle joins at scale — the pin is
+        # that NO window and no extra exchange appears)
+        "shuffle_exchanges": 5, "broadcast_joins": 5,
+        "windows": 0, "shuffle_joins": 0,
+    },
+    "dedup_minhash_documents": {
+        # explode→single hash-agg→band equi-join
+        "shuffle_exchanges": 3, "broadcast_joins": 1,
+        "windows": 0, "shuffle_joins": 0,
+    },
+    "ann_ivf_topk_embeddings": {
+        # build side: NO window (r4 max_by argmax fix — separately pinned by
+        # test_ivf_index_build_plan_no_window); the 4 windows here are the
+        # PROBE-side per-query top-k rank over probed-cell candidates only
+        "shuffle_exchanges": 6, "broadcast_joins": 0,
+        "windows": 4, "shuffle_joins": 1,
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_PINS))
+def test_plan_shape_pins(spark, name):
+    from jsonschema_go_spark.queries import get_queries
+
+    df = get_queries()[name](spark, SF_DIR)
+    got = _shape(_plan(df))
+    assert got == PLAN_PINS[name], f"{name}: plan shape drifted: {got}"
