@@ -137,6 +137,47 @@ def test_stage_dir_zip_fallback(monkeypatch):
     assert tr._default_stage_dir(zip_root) == "/tmp/explicit-stage"
 
 
+# ------------------------------------------------ shingle zip_with rewrite
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_word_shingles_zipwith_matches_reference_form(spark, n):
+    """r5 perf rewrite (zip_with over shifted slices — the per-index
+    transform form re-evaluated normalize+split once per SHINGLE, 4.2×
+    slower at sf0.1): values must stay bit-identical to the reference
+    per-index construction for every n, including short docs, repeats
+    (array_distinct), and whitespace edge cases."""
+    from jsonschema_go_spark.operators import dedup as dd
+    from jsonschema_go_spark.operators.text import normalize
+
+    def reference(c, n):
+        words = F.split(normalize(c), " ")
+        k = F.size(words) - (n - 1)
+        sh = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+        )
+        return F.array_distinct(sh)
+
+    df = spark.createDataFrame(
+        [
+            ("a b c d e f",),
+            ("a b",),
+            ("",),
+            (None,),
+            ("  x   y  z ",),
+            ("r r r r r r r r",),  # repeated shingles → distinct
+            ("one two three four",),
+        ],
+        "t string",
+    ).where(F.col("t").isNotNull())
+    got = df.select(dd.word_shingles(F.col("t"), n).alias("s")).collect()
+    want = df.select(reference(F.col("t"), n).alias("s")).collect()
+    assert [r["s"] for r in got] == [r["s"] for r in want]
+
+
 # --------------------------------------------------------- plan-shape pins
 
 #: golden plan shapes for the most expensive gated queries (empirical at
