@@ -39,6 +39,22 @@ def norm(a: Column) -> Column:
     )
 
 
+def _norms_py(cents: list) -> list:
+    """Driver-side centroid norms, bit-identical to :func:`norm`'s SQL fold:
+    Python floats are IEEE-754 doubles and the sum runs in the same
+    sequential index order, so ``acc + x*x`` rounds identically."""
+    import math
+
+    return [math.sqrt(sum_fold(c)) for c in cents]
+
+
+def sum_fold(xs) -> float:
+    acc = 0.0
+    for x in xs:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
 def _safe_ratio(d: Column, na: Column, nb: Column) -> Column:
     """dot/(na*nb) with a zero-norm guard: cosine is undefined for a zero
     vector, and x/0.0 aborts the job under ANSI mode (while NaN would poison
@@ -265,10 +281,15 @@ def assign_cells(
     if via == "literal":
         cl = F.lit(cents)
         # zero-norm guard: a zero vector (or zero centroid) gets similarity
-        # -1 instead of a divide-by-zero (ANSI mode aborts the job on x/0)
-        sims = F.transform(
+        # -1 instead of a divide-by-zero (ANSI mode aborts the job on x/0).
+        # Centroid norms are precomputed driver-side (Python doubles fold in
+        # the same IEEE order as the SQL aggregate — bit-identical) and
+        # zipped in as a literal: norm(p) inside the lambda would re-run the
+        # O(dim) fold per centroid per ROW, doubling the hot loop's FLOPs
+        sims = F.zip_with(
             cl,
-            lambda p: _safe_ratio(dot(F.col("_v"), p), F.col("_vn"), norm(p)),
+            F.lit(_norms_py(cents)),
+            lambda p, pn: _safe_ratio(dot(F.col("_v"), p), F.col("_vn"), pn),
         )
         return vecs.select(
             F.col(id_col),
@@ -335,9 +356,10 @@ def kmeans_centroids(
             # posexplode feeds the mean directly (the assign_cells+join-back
             # form would add a full-data shuffle per iteration)
             cl = F.lit(cents)
-            sims = F.transform(
+            sims = F.zip_with(
                 cl,
-                lambda p: _safe_ratio(dot(F.col("_v"), p), F.col("_vn"), norm(p)),
+                F.lit(_norms_py(cents)),
+                lambda p, pn: _safe_ratio(dot(F.col("_v"), p), F.col("_vn"), pn),
             )
             cell = (F.array_position(sims, F.array_max(sims)) - 1).alias("_cell")
             exploded = vecs.select(cell, F.posexplode("_v").alias("_pos", "_x"))

@@ -137,6 +137,31 @@ def test_stage_dir_zip_fallback(monkeypatch):
     assert tr._default_stage_dir(zip_root) == "/tmp/explicit-stage"
 
 
+# ------------------------------------- driver-side centroid norms (literal)
+
+
+def test_norms_py_bit_identical_to_sql_fold(spark):
+    """r5: literal-mode cell assignment zips PRECOMPUTED centroid norms into
+    the plan (norm(p) inside the lambda re-ran the O(dim) fold per centroid
+    per row). The Python fold must be BIT-identical to the SQL aggregate
+    fold — same IEEE double ops in the same order."""
+    vecs = [
+        [0.1, -2.5, 3.75, 1e-8],
+        [1.0] * 64,
+        [float(i) * 0.3 for i in range(64)],
+        [0.0, 0.0],
+        [1e154, 1e154],  # large magnitudes: rounding differences would show
+    ]
+    got = sim._norms_py(vecs)
+    rows = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i int, v array<double>"
+    ).select("i", sim.norm(F.col("v")).alias("n")).orderBy("i").collect()
+    import struct as st
+
+    for py, r in zip(got, rows):
+        assert st.pack("<d", py) == st.pack("<d", r["n"])
+
+
 # ------------------------------------------------ shingle zip_with rewrite
 
 
