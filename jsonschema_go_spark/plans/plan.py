@@ -49,6 +49,18 @@ class ValidationPlan:
         cols += [ch.predicate.alias(ch.rule_id) for ch in self.checks]
         return df.select(*cols)
 
+    def passing(self, df: DataFrame) -> DataFrame:
+        """Rows that pass EVERY compiled check — the cleaned table a
+        pipeline feeds downstream (the validation analog of a dedup
+        keep-list). Pure codegen'd AND over the same predicates
+        :meth:`flags` renders, no shuffle, no UDF; a row whose conjunction
+        evaluates NULL (NULL input under a non-null-passing check) is
+        dropped, matching SQL WHERE semantics in the oracle mirror."""
+        if not self.checks:
+            return df
+        all_pass = reduce(lambda a, b: a & b, [ch.predicate for ch in self.checks])
+        return df.where(all_pass)
+
     def violations(self, df: DataFrame, keys: Sequence[str], ordered: bool = True) -> DataFrame:
         """Materialized violation rows, one per failed (row, check).
 

@@ -1267,24 +1267,35 @@ _register(
 
 
 def q_transcript_text_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """input_hint row invariant, driver-gated: per-turn TEXT EQUALITY under
-    stable (conv_id, turn_idx) ordering — the full staged table's key+text
-    rows must value-hash-match DuckDB's read of the same files."""
-    from .sources.transcripts import stage_transcripts
+    """input_hint row invariant riding a REAL transformation (upgraded r5 —
+    through round 4 both engines just read the same staged parquet, proving
+    read/hash/ordering parity only): the engine computes the
+    validation-CLEAN subset (`ValidationPlan.passing` — rows passing ALL 13
+    compiled checks, one codegen'd AND, no shuffle) and emits its per-turn
+    (conv_id, turn_idx, text) under stable turn ordering; the oracle
+    re-derives the same subset from the SQL-rendered predicate conjunction
+    (`oracle.check_preds_sql` — identical check list by construction). One
+    hash gate now pins compiled-predicate parity, row filtering, AND
+    per-turn byte text equality of every surviving row."""
+    from .compile import compile_table
+    from .sources.transcripts import transcript_table_rule
 
-    df = spark.read.parquet(stage_transcripts(spark, "0.01"))
-    return df.select("conv_id", "turn_idx", "text").orderBy(
+    df = _staged_transcripts(spark)
+    plan = compile_table(transcript_table_rule(), df.schema)
+    return plan.passing(df).select("conv_id", "turn_idx", "text").orderBy(
         "conv_id", "turn_idx", "text"
     )
 
 
 def _transcript_texts_oracle() -> str:
-    from .sources.transcripts import GEN_VERSION, STAGE_DIR
+    from .oracle import check_preds_sql
+    from .sources.transcripts import transcript_table_rule
 
-    path = f"{STAGE_DIR}/transcripts_v{GEN_VERSION}_sf0.01"
+    preds = check_preds_sql(transcript_table_rule(), _TRANSCRIPT_ELEM_TYPES)
+    cond = " AND ".join(f"({c.pred})" for c in preds)
     return (
-        f"SELECT conv_id, turn_idx, text FROM read_parquet('{path}/*.parquet') "
-        "ORDER BY conv_id, turn_idx, text"
+        f"SELECT conv_id, turn_idx, text FROM read_parquet('{_transcript_path()}/*.parquet') "
+        f"WHERE {cond} ORDER BY conv_id, turn_idx, text"
     )
 
 

@@ -137,6 +137,39 @@ def test_stage_dir_zip_fallback(monkeypatch):
     assert tr._default_stage_dir(zip_root) == "/tmp/explicit-stage"
 
 
+# ------------------------------------------------- ValidationPlan.passing
+
+
+def test_plan_passing_complements_violations(spark):
+    """r5 engine surface: `passing()` (the cleaned table) must be exactly
+    the rows that produce NO violation row — complement check on the staged
+    sf0.001 transcripts, plus a plan assertion: a pure filter, no shuffle."""
+    from jsonschema_go_spark.compile import compile_table
+    from jsonschema_go_spark.sources.transcripts import (
+        stage_transcripts,
+        transcript_table_rule,
+    )
+
+    df = spark.read.parquet(stage_transcripts(spark, "0.001"))
+    plan = compile_table(transcript_table_rule(), df.schema)
+    total = df.count()
+    clean = plan.passing(df)
+    bad_keys = (
+        plan.violations(df, ["conv_id", "turn_idx"], ordered=False)
+        .select("conv_id", "turn_idx")
+        .distinct()
+        .count()
+    )
+    assert clean.count() == total - bad_keys
+    # cleaned rows joined back against violation keys must be empty
+    viol = plan.violations(df, ["conv_id", "turn_idx"], ordered=False).select(
+        "conv_id", "turn_idx"
+    )
+    assert clean.join(viol, ["conv_id", "turn_idx"], "left_semi").count() == 0
+    plan_str = clean._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str and "Window" not in plan_str
+
+
 # ------------------------------------- driver-side centroid norms (literal)
 
 
