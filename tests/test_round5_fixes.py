@@ -137,6 +137,94 @@ def test_stage_dir_zip_fallback(monkeypatch):
     assert tr._default_stage_dir(zip_root) == "/tmp/explicit-stage"
 
 
+# ----------------------------------------------- distributed exact KS ECDF
+
+
+def _ks_exact_single_window_reference(df_a, df_b, value_col):
+    """The pre-r5 implementation: one unpartitioned cumulative window over
+    all distinct values — kept as the semantic reference."""
+    from pyspark.sql.window import Window as W
+
+    a = (
+        df_a.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        df_b.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    merged = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    ecdf = merged.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    diff = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(None)
+    ).otherwise(F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")))
+    return ecdf.agg(
+        F.max(diff).alias("ks_d"),
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"),
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 3, 16])
+def test_ks_exact_distributed_matches_single_window(spark, parts):
+    """r5 rewrite: the range-partitioned two-phase prefix sum must be
+    BIT-identical to the single-window reference at any partition count —
+    prefix sums are exact long arithmetic, so only the division doubles
+    reach float land and they divide identical integers."""
+    import struct as st
+
+    from jsonschema_go_spark.operators import drift as dr
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df_a = ev.where(F.col("event_id") % 2 == 0).select("value")
+    df_b = ev.where(F.col("event_id") % 2 == 1).select("value")
+    got = dr.ks_exact(df_a, df_b, "value", range_partitions=parts).first()
+    want = _ks_exact_single_window_reference(df_a, df_b, "value").first()
+    assert st.pack("<d", got["ks_d"]) == st.pack("<d", want["ks_d"])
+    assert (got["n_a"], got["n_b"]) == (want["n_a"], want["n_b"])
+    # empty-side and empty-both edge behavior preserved
+    empty = df_a.limit(0)
+    e1 = dr.ks_exact(empty, df_b, "value", range_partitions=parts).first()
+    assert e1["ks_d"] is None and e1["n_a"] == 0
+    e2 = dr.ks_exact(empty, empty, "value", range_partitions=parts).first()
+    assert e2["ks_d"] is None and e2["n_a"] is None
+
+
+def test_ks_exact_no_unpartitioned_data_window(spark):
+    """Plan shape: every Window over the DATA is partitioned (_pid); the
+    only global constructs run over ≤P partition-total rows."""
+    from jsonschema_go_spark.operators import drift as dr
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df_a = ev.where(F.col("event_id") % 2 == 0).select("value")
+    df_b = ev.where(F.col("event_id") % 2 == 1).select("value")
+    out = dr.ks_exact(df_a, df_b, "value")
+    plan = _plan(out)
+    import re as _re
+
+    # the data-path prefix window must be partitioned by _pid; windows
+    # without a partition column may only sit above the tiny
+    # per-partition-totals aggregate (≤P rows), and the data path must be
+    # fed by a RANGE exchange (balanced sorted splits), not a single task
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert any("_pid" in s for s in specs), plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 # ------------------------------------------------- ValidationPlan.passing
 
 
