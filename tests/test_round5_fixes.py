@@ -137,6 +137,38 @@ def test_stage_dir_zip_fallback(monkeypatch):
     assert tr._default_stage_dir(zip_root) == "/tmp/explicit-stage"
 
 
+# ------------------------------------------- CC checkpoint memory release
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """r5: every star round localCheckpoints its edge set; without releasing
+    the previous round once the next is materialized, a long run pins EVERY
+    round's edge set in executor memory (R× the working set at 10⁹ edges).
+    After a distributed run exactly ONE new RDD may remain persisted — the
+    final converged edge set the returned labels read."""
+    from jsonschema_go_spark.operators import dedup as dd
+
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 400, 2)]
+        + [(i, i + 2) for i in range(0, 400, 4)],
+        "id_a long, id_b long",
+    )
+    before = n_persisted()
+    cc = dd.connected_components(pairs, local_finish_threshold=0)
+    rows = cc.collect()
+    assert dd._LAST_ROUNDS >= 2  # several rounds ran, so several checkpoints
+    assert n_persisted() - before <= 1
+    # labels still correct: (i,i+1) pairs + (i,i+2) bridges at i%4==0 form
+    # blocks of four {4k..4k+3} rooted at 4k
+    comp = {r["node"]: r["component"] for r in rows}
+    assert comp[399] == 396 and comp[3] == 0 and comp[0] == 0
+
+
 # ----------------------------------------------- distributed exact KS ECDF
 
 
