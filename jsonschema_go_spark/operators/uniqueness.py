@@ -172,24 +172,31 @@ def fk_orphans(
 
 def fk_conformance(fks) -> DataFrame:
     """Per-FK conformance summary → ``(fk, child_rows, orphan_rows)`` for a
-    list of ``(name, child_df, child_key, parent_df, parent_key)`` tuples —
-    one lazy plan (union of per-FK aggregate branches), one action.
-    ``child_rows`` counts non-NULL-FK rows (the checked population).
+    list of ``(name, child_df, child_key, parent_df, parent_key)`` or
+    ``(..., parent_key, broadcast_parent)`` tuples — one lazy plan (union of
+    per-FK aggregate branches), one action. ``child_rows`` counts
+    non-NULL-FK rows (the checked population).
 
-    Scale shape: ONE scan of each child table per FK — a broadcast LEFT join
-    against the parent's distinct key set (keys-only, dims broadcast) with
-    conditional aggregation (``orphan_rows`` = unmatched rows), instead of
-    separate count + anti-join-count branches that would scan the (100 TB)
-    fact table twice. NULL parent keys never match the equi-join condition,
-    so semantics are identical to the anti-join form.
+    Scale shape: ONE scan of each child table per FK — a LEFT join against
+    the parent's distinct key set (keys-only) with conditional aggregation
+    (``orphan_rows`` = unmatched rows), instead of separate count +
+    anti-join-count branches that would scan the (100 TB) fact table twice.
+    ``broadcast_parent`` (default True — dimension parents) forces a
+    broadcast hash join, zero shuffle of the child; pass False for big-big
+    pairs (e.g. a fact referencing another fact's key): a shuffle join on
+    the key, which AQE converts back to broadcast when the deduped key set
+    turns out small at runtime. NULL parent keys never match the equi-join
+    condition, so semantics are identical to the anti-join form either way.
     """
     if not fks:
         raise ValueError("fks must be non-empty")
     parts = []
-    for name, child, ck, parent, pk in fks:
-        keys = F.broadcast(
-            parent.select(F.col(pk).alias("__pk")).distinct()
-        )
+    for spec in fks:
+        name, child, ck, parent, pk, *rest = spec
+        broadcast_parent = rest[0] if rest else True
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        if broadcast_parent:
+            keys = F.broadcast(keys)
         joined = (
             child.where(F.col(ck).isNotNull())
             .select(F.col(ck))

@@ -92,6 +92,20 @@ def test_fk_conformance_empty_fks_raises():
         uq.fk_conformance([])
 
 
+def test_fk_conformance_big_big_shuffle_join(spark):
+    """6-tuple form with broadcast_parent=False: a big-big FK pair must plan
+    a SHUFFLE join on the key (AQE may still demote to broadcast at runtime
+    from the deduped key-set size), with identical output."""
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 20)], "id long, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk int")
+    out = uq.fk_conformance([("child.fk", child, "fk", parent, "pk", False)])
+    plan = _plan(out)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert [tuple(r) for r in out.collect()] == [("child.fk", 3, 1)]
+
+
 def test_fk_conformance_null_parent_key_harmless(spark):
     """A NULL in the parent key set must not change orphan semantics (the
     equi-join condition never matches NULL — identical to the anti-join)."""
