@@ -197,10 +197,13 @@ def fk_conformance(fks) -> DataFrame:
         keys = parent.select(F.col(pk).alias("__pk")).distinct()
         if broadcast_parent:
             keys = F.broadcast(keys)
+        # both sides aliased (r6): joining the raw child column against
+        # __pk made a child whose FK column is literally named __pk
+        # self-referential/ambiguous, corrupting the orphan count
         joined = (
             child.where(F.col(ck).isNotNull())
-            .select(F.col(ck))
-            .join(keys, F.col(ck) == F.col("__pk"), "left")
+            .select(F.col(ck).alias("__ck"))
+            .join(keys, F.col("__ck") == F.col("__pk"), "left")
         )
         parts.append(
             joined.agg(

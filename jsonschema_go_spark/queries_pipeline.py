@@ -313,6 +313,13 @@ _CLUSTERS_CTE = f"""
     )
 """
 
+#: the previous q_dedup_corpus_end2end invocation's checkpointed cluster
+#: map — released (best-effort) when the builder runs again in the same
+#: session; at most one copy stays pinned, mirroring connected_components'
+#: own superseded-round release discipline.
+_E2E_LAST_CLUSTERS = None
+
+
 def q_dedup_corpus_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup with the candidate-PAIR stage built ONCE — the
     production shape (one pair stage, many consumers): MinHash-LSH pairs
@@ -327,15 +334,36 @@ def q_dedup_corpus_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is the dominant cost, so it must be shared, not repeated. The
     oracle extends the same recursive-CTE transitive closure with a size
     CTE + left joins."""
-    corpus = _cluster_corpus(spark, sf_dir).select("doc_id")
-    clusters = dd.duplicate_clusters(
-        _cluster_pairs(_cluster_corpus(spark, sf_dir))
-    ).cache()
+    global _E2E_LAST_CLUSTERS
+    # r6: corpus built ONCE and shared by both consumers (the id projection
+    # and the pair stage) — the r5 shape constructed the documents union
+    # twice, contradicting the query's own build-once thesis. And the
+    # cluster map is localCheckpoint-ed (not cached) with the PREVIOUS
+    # invocation's copy released, so repeated bench invocations (warm-up +
+    # N timed runs per session) keep session memory flat instead of
+    # accumulating orphaned cache entries.
+    corpus = _cluster_corpus(spark, sf_dir)
+    clusters = dd.duplicate_clusters(_cluster_pairs(corpus)).localCheckpoint(
+        eager=True
+    )
+    # the eager checkpoint above re-materialized the labels, so the CC
+    # run's converged edge set (when the distributed path produced one)
+    # has no remaining reader — release it now, not at session end
+    if dd._LAST_EDGES is not None and dd._LAST_EDGES.sparkSession is spark:
+        dd._release_checkpoint(dd._LAST_EDGES)
+        dd._LAST_EDGES = None
+    if (
+        _E2E_LAST_CLUSTERS is not None
+        and _E2E_LAST_CLUSTERS.sparkSession is spark
+    ):
+        dd._release_checkpoint(_E2E_LAST_CLUSTERS)
+    _E2E_LAST_CLUSTERS = clusters
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("_sz")
     )
     return (
-        corpus.join(clusters.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        corpus.select("doc_id")
+        .join(clusters.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .join(sizes, "cluster_id", "left")
         .select(
             "doc_id",

@@ -177,9 +177,20 @@ def _default_stage_dir(package_parent: str = None) -> str:
     p = root
     while p and p != os.path.dirname(p):
         if os.path.isfile(p):
+            import getpass
             import tempfile
 
-            return os.path.join(tempfile.gettempdir(), "jsonschema_go_spark_stage")
+            # per-user (r6): a world-shared fixed /tmp path collides across
+            # concurrent users (PermissionError on a dir owned by someone
+            # else) and is a symlink/pre-creation hazard; deployments that
+            # need a shared location set SPARK_GRAFT_STAGE_DIR explicitly.
+            try:
+                user = getpass.getuser()
+            except Exception:
+                user = str(os.getuid()) if hasattr(os, "getuid") else "anon"
+            return os.path.join(
+                tempfile.gettempdir(), f"jsonschema_go_spark_stage_{user}"
+            )
         p = os.path.dirname(p)
     return os.path.join(root, ".stage")
 

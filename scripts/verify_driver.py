@@ -9,12 +9,15 @@ Usage: python scripts/verify_driver.py [name ...]   # default: all queries
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+# repo root from the script's own location — a hardcoded /root/repo here
+# silently imports a DIFFERENT checkout's engine when the repo is relocated
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -83,12 +86,17 @@ def main() -> int:
         print(
             f"REGISTRY ERROR: {len(queries)} queries() entries > the driver's "
             "observed 50-entry CORRECTNESS-snapshot cap — entries past 50 "
-            f"would be unrecorded: {sorted(queries)[50:]}"
+            # the driver caps in registration/iteration order, not sorted
+            f"would be unrecorded: {list(queries)[50:]}"
         )
         return 1
     missing_oracle = sorted(set(queries) - set(oracles))
     print(f"rows-only (no oracle, by design): {missing_oracle}")
-    snaps = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    # repo root derived from this script's own location (r6: the hardcoded
+    # /root/repo glob silently no-op'd the audit whenever the repo was
+    # relocated — the same class of bug as the round-3 stage-dir fix)
+    _repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    snaps = sorted(glob.glob(_os.path.join(_repo_root, "CORRECTNESS_r*.json")))
     if snaps:
         snap = _json.load(open(snaps[-1]))
         absent = sorted(set(queries) - set(snap))
