@@ -91,7 +91,8 @@ def sql_pred(
     ``elem_type`` hints the physical type for `type`-keyword residues:
     ``scalar`` (typed column — type statically satisfied), ``double``
     (fractional numeric: integer ⇒ integral check), ``string`` (stringly
-    ingest: cast checks), ``array``.
+    ingest: cast checks), ``array`` (scalar elements) or ``array<inner>``
+    (elements carry the ``inner`` hint into contains/items sub-predicates).
     """
     if rule is True:
         return "TRUE"
@@ -182,8 +183,15 @@ def sql_pred(
                 f"format {rule.format!r} enforced by compile.py has no SQL mirror"
             )
 
-    # ---- array (DuckDB list functions)
-    if elem_type == "array":
+    # ---- array (DuckDB list functions). ``array<inner>`` hints carry the
+    # ELEMENT type into sub-predicates (contains/items/additionalItems) —
+    # compile.py passes the real element DataType there, so e.g.
+    # ``type: integer`` inside ``contains`` on an array<string> column
+    # compiles to a stringly cast check; a bare "array" hint (scalar
+    # elements, the legacy form) would silently skip that residue
+    # (divergence found by tests/test_differential_fuzz.py, round 6).
+    if elem_type == "array" or elem_type.startswith("array<"):
+        inner = elem_type[6:-1] if elem_type.startswith("array<") else "scalar"
         if rule.min_items:
             add(f"(len({c}) >= {int(rule.min_items)})")
         if rule.max_items is not None:
@@ -191,24 +199,24 @@ def sql_pred(
         if rule.unique_items:
             add(f"(len(list_distinct({c})) = len({c}))")
         if rule.contains is not None:
-            sub = sql_pred(rule.contains, "x")
+            sub = sql_pred(rule.contains, "x", inner)
             add(f"(len(list_filter({c}, x -> coalesce({sub}, TRUE))) > 0)")
         if rule.items is not None:
             if isinstance(rule.items, list):
                 parts = []
                 for i, s in enumerate(rule.items):
-                    sub = sql_pred(s, f"{c}[{i + 1}]")
+                    sub = sql_pred(s, f"{c}[{i + 1}]", inner)
                     parts.append(f"(len({c}) <= {i} OR coalesce({sub}, TRUE))")
                 add("(" + " AND ".join(parts) + ")")
                 if rule.additional_items not in (None, True):
                     n = len(rule.items)
-                    sub = sql_pred(rule.additional_items, "x")
+                    sub = sql_pred(rule.additional_items, "x", inner)
                     add(
                         f"(len({c}) <= {n} OR len(list_filter({c}[{n + 1}:], "
                         f"x -> NOT coalesce({sub}, TRUE))) = 0)"
                     )
             else:
-                sub = sql_pred(rule.items, "x")
+                sub = sql_pred(rule.items, "x", inner)
                 add(f"(len(list_filter({c}, x -> NOT coalesce({sub}, TRUE))) = 0)")
 
     # ---- object over MAP (DuckDB map functions; mirrors compile.py's
