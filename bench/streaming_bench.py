@@ -63,6 +63,7 @@ def main() -> None:
         transcript_table_rule,
     )
     from jsonschema_go_spark.streaming.validate_stream import (
+        contiguity_verdict_stream,
         conversation_verdict_stream,
         stateful_contiguity_stream,
         violation_stream,
@@ -118,7 +119,9 @@ def main() -> None:
         contiguity(batch, "conv_id", "turn_idx")))
     timed("batch_verdicts", lambda: noop(
         plan.flags(batch, ["conv_id"]).groupBy("conv_id").agg(
-            *[F.min(c).alias(c) for c in plan.rule_ids])))
+            # rule_ids contain dots — backtick-quote or Spark parses a
+            # struct-field extraction
+            *[F.min(F.col(f"`{c}`")).alias(c) for c in plan.rule_ids])))
 
     # streaming paths (each timed run drains the full input from a fresh
     # checkpoint — micro-batch scheduling included, that's the point)
@@ -127,6 +130,8 @@ def main() -> None:
         "append", "viol"))
     timed("stream_contiguity_pandas_state", lambda: run_stream(
         lambda s: stateful_contiguity_stream(s), "update", "contig"))
+    timed("stream_contiguity_jvm", lambda: run_stream(
+        lambda s: contiguity_verdict_stream(s), "update", "contig_jvm"))
     timed("stream_verdicts", lambda: run_stream(
         lambda s: conversation_verdict_stream(plan, s, "conv_id"),
         "update", "verd"))
@@ -141,6 +146,9 @@ def main() -> None:
         "turns_per_sec": {k: round(n_turns / v, 1) for k, v in timings.items()},
         "pandas_state_vs_batch_ratio": round(
             timings["stream_contiguity_pandas_state"] / timings["batch_contiguity"], 2
+        ),
+        "jvm_stream_vs_pandas_state_speedup": round(
+            timings["stream_contiguity_pandas_state"] / timings["stream_contiguity_jvm"], 2
         ),
         "stream_violations_vs_batch_ratio": round(
             timings["stream_violations"] / timings["batch_violations"], 2

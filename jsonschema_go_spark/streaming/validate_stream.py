@@ -252,6 +252,59 @@ def stateful_contiguity_stream(
     )
 
 
+def contiguity_verdict_stream(
+    stream: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    start: int = 0,
+) -> DataFrame:
+    """JVM-side rendition of :func:`stateful_contiguity_stream` — the SAME
+    per-conversation summary ``(rows, min_idx, max_idx, idx_sum, idx_sumsq,
+    contiguous)`` as a plain update-mode groupBy aggregation, no
+    ``applyInPandasWithState``.
+
+    Why it exists (round 6): the pandas-state path measured **12.5× slower
+    than the batch contiguity pass** at 600k turns / local[32]
+    (``bench/streaming_bench.py``: ~10k vs ~124k turns/s) — the per-group
+    Arrow→pandas→Arrow hop is the engine's one non-JVM surface and would
+    bottleneck a 100 TB streaming backfill. Every piece of the contiguity
+    state is an ASSOCIATIVE aggregate (count/min/max/sum/sum-of-squares),
+    so Spark's own incremental aggregation state covers it: this form keeps
+    whole-stage codegen and partial aggregation, and the verdict is the
+    identical count+min+max+linear+quadratic-moment formula (the quadratic
+    moment rules out duplicate+skip combinations that fool the linear sum).
+    Keep ``stateful_contiguity_stream`` as the template for genuinely
+    non-associative state; prefer THIS for contiguity and for backfills.
+    """
+    idx = F.col(idx_col)
+    rows = F.count(idx)  # non-null turns, matching the pandas-state dropna
+    agged = stream.groupBy(conv_col).agg(
+        rows.alias("rows"),
+        F.min(idx).alias("min_idx"),
+        F.max(idx).alias("max_idx"),
+        F.sum(idx.cast("long")).alias("idx_sum"),
+        F.sum(idx.cast("long") * idx.cast("long")).alias("idx_sumsq"),
+    )
+
+    def sumsq(n):  # closed-form Σ k², k=0..n (0 for negative n)
+        nn = n.cast("long")
+        return F.when(nn < 0, F.lit(0)).otherwise(
+            nn * (nn + 1) * (2 * nn + 1) / 6
+        ).cast("long")
+
+    end = F.lit(start) + F.col("rows") - 1
+    want_sum = (F.col("rows") * (F.lit(start) + end) / 2).cast("long")
+    want_sq = sumsq(end) - sumsq(F.lit(start) - 1)
+    return agged.withColumn(
+        "contiguous",
+        (F.col("rows") > 0)
+        & (F.col("min_idx") == F.lit(start))
+        & (F.col("max_idx") == end)
+        & (F.col("idx_sum") == want_sum)
+        & (F.col("idx_sumsq") == want_sq),
+    )
+
+
 def conversation_verdict_stream(
     plan: ValidationPlan,
     stream: DataFrame,
