@@ -220,9 +220,14 @@ def sql_pred(
                 add(f"(len(list_filter({c}, x -> NOT coalesce({sub}, TRUE))) = 0)")
 
     # ---- object over MAP (DuckDB map functions; mirrors compile.py's
-    # MapType branch incl. per-keyword null-pass placement)
-    if elem_type == "map":
-        for _, p in _map_keyword_preds(rule, c):
+    # MapType branch incl. per-keyword null-pass placement). ``map<inner>``
+    # hints carry the VALUE type into sub-predicates — compile.py passes the
+    # real valueType there, so e.g. ``type: integer`` inside ``properties``
+    # on a map<string,string> column compiles to a stringly cast check; the
+    # bare "map" hint (scalar values, the legacy form) skips that residue.
+    if elem_type == "map" or elem_type.startswith("map<"):
+        inner = elem_type[4:-1] if elem_type.startswith("map<") else "scalar"
+        for _, p in _map_keyword_preds(rule, c, inner):
             add(p)
 
     # ---- composition
@@ -250,12 +255,19 @@ def sql_pred(
     return f"({c} IS NULL OR ({body}))"
 
 
-def _map_keyword_preds(rule: Rule, c: str) -> List[tuple]:
+def _map_keyword_preds(rule: Rule, c: str, inner: str = "scalar") -> List[tuple]:
     """(keyword, sql) pairs for object-over-map keywords, in the same yield
     order and granularity as ``compile._keyword_preds`` (one entry per
     patternProperties pattern / dependencies key). ``element_at(map, k)`` in
     DuckDB returns a LIST — ``[1]`` extracts the value (NULL when absent),
-    matching Spark's NULL-for-missing-key ``element_at``."""
+    matching Spark's NULL-for-missing-key ``element_at``.
+
+    ``inner`` is the VALUE-type hint for sub-predicates (properties /
+    additionalProperties / patternProperties); ``propertyNames`` sub-rules
+    always get the "string" hint because map KEYS are strings —
+    compile.py's MapType branch passes ``T.StringType()`` there, so a
+    ``type: integer`` propertyNames sub-rule is a stringly cast check on
+    both sides (divergence class found by tests/test_differential_fuzz.py)."""
     keys = f"map_keys({c})"
     out: List[tuple] = []
     if rule.min_properties:
@@ -268,7 +280,7 @@ def _map_keyword_preds(rule: Rule, c: str) -> List[tuple]:
     known = sorted((rule.properties or {}).keys())
     if rule.properties:
         parts = [
-            f"coalesce({sql_pred(s, f'element_at({c}, {_q(k)})[1]')}, TRUE)"
+            f"coalesce({sql_pred(s, f'element_at({c}, {_q(k)})[1]', inner)}, TRUE)"
             for k, s in sorted(rule.properties.items())
         ]
         out.append(("properties", "(" + " AND ".join(parts) + ")"))
@@ -281,20 +293,21 @@ def _map_keyword_preds(rule: Rule, c: str) -> List[tuple]:
         if rule.additional_properties is False:
             out.append(("additionalProperties", f"(len({extra}) = 0)"))
         elif rule.additional_properties is not True:
-            sub = sql_pred(rule.additional_properties, f"element_at({c}, k)[1]")
+            sub = sql_pred(rule.additional_properties, f"element_at({c}, k)[1]", inner)
             out.append((
                 "additionalProperties",
                 f"(len(list_filter({extra}, k -> NOT coalesce({sub}, TRUE))) = 0)",
             ))
     for pat, s in sorted((rule.pattern_properties or {}).items()):
-        sub = sql_pred(s, "e.value")
+        sub = sql_pred(s, "e.value", inner)
         inner = f"((NOT regexp_matches(e.key, {_q(pat)})) OR coalesce({sub}, TRUE))"
         out.append((
             "patternProperties",
             f"(len(list_filter(map_entries({c}), e -> NOT coalesce({inner}, TRUE))) = 0)",
         ))
     if rule.property_names is not None:
-        sub = sql_pred(rule.property_names, "k")
+        # keys are strings: compile.py passes T.StringType() here
+        sub = sql_pred(rule.property_names, "k", "string")
         out.append((
             "propertyNames",
             f"(len(list_filter({keys}, k -> NOT coalesce({sub}, TRUE))) = 0)",
@@ -308,7 +321,8 @@ def _map_keyword_preds(rule: Rule, c: str) -> List[tuple]:
                 else "TRUE"
             )
         else:
-            dep_ok = f"coalesce({sql_pred(dep, c, 'map')}, TRUE)"
+            et = f"map<{inner}>" if inner != "scalar" else "map"
+            dep_ok = f"coalesce({sql_pred(dep, c, et)}, TRUE)"
         out.append(("dependencies", f"((NOT {present}) OR {dep_ok})"))
     return out
 
@@ -326,10 +340,11 @@ def keyword_preds_sql(rule: Rule, c: str, elem_type: str = "scalar") -> List[tup
     granularity for summary parity. Each predicate NULL-guards on its own."""
     out = []
     for kw in _KEYWORD_ORDER:
-        if kw == "allOf" and elem_type == "map":
+        if kw == "allOf" and (elem_type == "map" or elem_type.startswith("map<")):
             # object-over-map keywords sit between array and composition in
             # compile._keyword_preds yield order
-            out.extend(_map_keyword_preds(rule, c))
+            inner = elem_type[4:-1] if elem_type.startswith("map<") else "scalar"
+            out.extend(_map_keyword_preds(rule, c, inner))
         single = Rule()
         present = False
         if kw == "type" and rule.type is not None:

@@ -4,7 +4,8 @@ data rows, asserting ``compile_table``'s Spark flags == the DuckDB oracle's
 strategy (``/root/reference/entities_test.go:13-107``) lifted from
 (de)serialization identity to PREDICATE SEMANTICS. The fixed transcript rule
 set pins 13 checks; this closes the long tail (nested composition × null ×
-stringly casts × array keywords) with ≥200 generated column schemas per run.
+stringly casts × array keywords × object-over-map keywords) with ≥300
+generated column schemas per run.
 
 Deterministic (``derandomize=True``): CI failures reproduce exactly.
 """
@@ -131,13 +132,53 @@ _array_scalars = st.fixed_dictionaries(
     },
 )
 
+_MAP_KEYS = ["k1", "k2", "kx", "num"]
+
+_dep_schema = st.fixed_dictionaries(
+    {},
+    optional={
+        "minProperties": st.integers(1, 3),
+        "required": st.lists(st.sampled_from(_MAP_KEYS), min_size=1, max_size=2, unique=True),
+    },
+)
+
+_map_scalars = st.fixed_dictionaries(
+    {},
+    optional={
+        "minProperties": st.integers(1, 3),
+        "maxProperties": st.integers(0, 4),
+        "required": st.lists(st.sampled_from(_MAP_KEYS), min_size=1, max_size=2, unique=True),
+        # values are strings: stringly `type` casts apply inside value subs
+        "properties": st.dictionaries(
+            st.sampled_from(_MAP_KEYS), _string_sub, min_size=1, max_size=2
+        ),
+        "additionalProperties": st.one_of(st.booleans(), _string_sub),
+        "patternProperties": st.dictionaries(
+            st.sampled_from(_PATTERNS), _string_sub, min_size=1, max_size=1
+        ),
+        # keys are strings too — compile checks propertyNames subs against
+        # StringType, so stringly casts apply there as well
+        "propertyNames": _string_sub,
+        "dependencies": st.dictionaries(
+            st.sampled_from(["k1", "k2"]),
+            st.one_of(
+                st.lists(st.sampled_from(_MAP_KEYS), max_size=2, unique=True),
+                _dep_schema,
+            ),
+            min_size=1,
+            max_size=2,
+        ),
+    },
+)
+
 _table_docs = st.fixed_dictionaries(
     {
         "i": _with_composition(_int_scalars, 2),
         "d": _with_composition(_double_scalars, 2),
         "s": _with_composition(_string_scalars, 2),
         "a": _with_composition(_array_scalars, 1),
-        "required": st.sets(st.sampled_from(["i", "d", "s", "a"])),
+        "m": _with_composition(_map_scalars, 1),
+        "required": st.sets(st.sampled_from(["i", "d", "s", "a", "m"])),
     }
 )
 
@@ -155,15 +196,28 @@ _ARRAYS = [
     None, [], ["a"], ["a", "a"], ["a", "b", "c"], ["123"], ["x", "y", "x"],
     ["", "a"], ["abc", "ab", "a", "x", "y"], ["aaa"],
 ]
+_MAPS = [
+    None, {}, {"k1": "a"}, {"k1": "123", "k2": "b"}, {"kx": "x"},
+    {"k1": "a", "k2": "a", "k3": "aaa"}, {"num": "12.0"}, {"UPPER": "x"},
+    {"k1": ""}, {"k2": "true", "zz": "y"}, {"aaa": "aaa"},
+    {"k1": "not-a-num", "num": "7"}, {"k1": "a", "k2": "b", "kx": "c", "num": "0"},
+]
 
-_N_ROWS = max(len(_INTS), len(_DOUBLES), len(_STRINGS), len(_ARRAYS))
+_N_ROWS = max(len(_INTS), len(_DOUBLES), len(_STRINGS), len(_ARRAYS), len(_MAPS))
 
-_SPARK_SCHEMA = "id long, i long, d double, s string, a array<string>"
-#: "array<string>" (not bare "array") so the oracle mirrors element-level
-#: type residues — the first divergence this suite found was the oracle
-#: skipping a `type: integer` stringly cast inside `contains` on a
-#: string-element array while compile.py checked it
-_ELEM_TYPES = {"i": "integer", "d": "double", "s": "string", "a": "array<string>"}
+_SPARK_SCHEMA = (
+    "id long, i long, d double, s string, a array<string>, m map<string,string>"
+)
+#: "array<string>" / "map<string>" (not bare "array"/"map") so the oracle
+#: mirrors element/value-level type residues — the first divergence this
+#: suite found was the oracle skipping a `type: integer` stringly cast
+#: inside `contains` on a string-element array while compile.py checked it;
+#: the map<inner> hint closes the same class for map value sub-rules and
+#: propertyNames key sub-rules (round 6)
+_ELEM_TYPES = {
+    "i": "integer", "d": "double", "s": "string", "a": "array<string>",
+    "m": "map<string>",
+}
 
 
 def _rows(extra_ints, extra_strings):
@@ -174,12 +228,22 @@ def _rows(extra_ints, extra_strings):
             _DOUBLES[k % len(_DOUBLES)],
             _STRINGS[k % len(_STRINGS)],
             _ARRAYS[k % len(_ARRAYS)],
+            _MAPS[k % len(_MAPS)],
         )
         for k in range(_N_ROWS)
     ]
     base = _N_ROWS
     for j, (iv, sv) in enumerate(zip(extra_ints, extra_strings)):
-        rows.append((base + j, iv, float(iv) if iv is not None else None, sv, [sv] if sv is not None else None))
+        rows.append(
+            (
+                base + j,
+                iv,
+                float(iv) if iv is not None else None,
+                sv,
+                [sv] if sv is not None else None,
+                {"k1": sv} if sv is not None else None,
+            )
+        )
     return rows
 
 
@@ -191,7 +255,7 @@ def _duck():
 
 
 @settings(
-    max_examples=60,  # x4 column rules per example = 240 generated schemas
+    max_examples=60,  # x5 column rules per example = 300 generated schemas
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
@@ -209,6 +273,7 @@ def test_compiled_flags_match_oracle(spark, _duck, docs, extra_ints, extra_strin
             "d": Rule.from_dict(docs["d"]),
             "s": Rule.from_dict(docs["s"]),
             "a": Rule.from_dict(docs["a"]),
+            "m": Rule.from_dict(docs["m"]),
         },
         metadata={"required": sorted(docs["required"])},
     )
@@ -219,8 +284,12 @@ def test_compiled_flags_match_oracle(spark, _duck, docs, extra_ints, extra_strin
     # identical check lists by construction — same ids, same order
     assert [c.rule_id for c in preds] == plan.rule_ids
 
+    # positional access: rule_ids can legitimately repeat (table-level
+    # required + the map keyword `required` both emit `m.required`; one
+    # entry per dependencies key) — name lookup on a duplicate column
+    # resolves to the first occurrence and manufactures false mismatches
     got = {
-        r["id"]: tuple(bool(r[rid]) if r[rid] is not None else None for rid in plan.rule_ids)
+        r[0]: tuple(bool(v) if v is not None else None for v in r[1:])
         for r in plan.flags(df, ["id"]).collect()
     }
 
@@ -231,6 +300,10 @@ def test_compiled_flags_match_oracle(spark, _duck, docs, extra_ints, extra_strin
             "d": pa.array([r[2] for r in rows], pa.float64()),
             "s": pa.array([r[3] for r in rows], pa.string()),
             "a": pa.array([r[4] for r in rows], pa.list_(pa.string())),
+            "m": pa.array(
+                [sorted(r[5].items()) if r[5] is not None else None for r in rows],
+                pa.map_(pa.string(), pa.string()),
+            ),
         }
     )
     _duck.register("fuzz_t", tbl)
