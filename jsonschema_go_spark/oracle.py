@@ -230,6 +230,14 @@ def sql_pred(
         for _, p in _map_keyword_preds(rule, c, inner):
             add(p)
 
+    # ---- object over STRUCT (static fields; mirrors compile.py's
+    # StructType branch: unknown properties are statically absent ⇒ skipped,
+    # unknown required fields ⇒ FALSE). Hint: ``struct<f1:string,f2:integer>``
+    # — per-field hints carry into field sub-predicates.
+    if elem_type.startswith("struct<"):
+        for _, p in _struct_keyword_preds(rule, c, _parse_struct_hint(elem_type)):
+            add(p)
+
     # ---- composition
     if rule.all_of:
         add("(" + " AND ".join(f"coalesce({sql_pred(s, c, elem_type)}, TRUE)" for s in rule.all_of) + ")")
@@ -253,6 +261,47 @@ def sql_pred(
         return "TRUE"
     body = " AND ".join(preds)
     return f"({c} IS NULL OR ({body}))"
+
+
+def _parse_struct_hint(elem_type: str) -> dict:
+    """``struct<f1:string,f2:integer>`` → {"f1": "string", "f2": "integer"}.
+    Field hints are scalar elem-type hints (no nested struct/map/array)."""
+    fields: dict = {}
+    body = elem_type[7:-1]
+    for part in body.split(",") if body else []:
+        k, _, t = part.partition(":")
+        fields[k.strip()] = t.strip() or "scalar"
+    return fields
+
+
+def _qid(k: str) -> str:
+    """Double-quoted SQL identifier (struct field access)."""
+    return '"' + k.replace('"', '""') + '"'
+
+
+def _struct_keyword_preds(rule: Rule, c: str, fields: dict) -> List[tuple]:
+    """(keyword, sql) pairs for object-over-struct keywords, mirroring
+    compile.py's StructType branch: ``properties`` checks known fields only
+    (a property missing from the static schema is absent ⇒ passes, so it is
+    skipped entirely; no pred is emitted when every property is unknown),
+    ``required`` is per-field non-nullness with FALSE for unknown fields,
+    in as-listed order (compile iterates rule.required, not sorted)."""
+    out: List[tuple] = []
+    if rule.properties:
+        parts = [
+            f"coalesce({sql_pred(s, f'{c}.{_qid(k)}', fields[k])}, TRUE)"
+            for k, s in sorted(rule.properties.items())
+            if k in fields
+        ]
+        if parts:
+            out.append(("properties", "(" + " AND ".join(parts) + ")"))
+    if rule.required:
+        parts = [
+            f"({c}.{_qid(k)} IS NOT NULL)" if k in fields else "FALSE"
+            for k in rule.required
+        ]
+        out.append(("required", "(" + " AND ".join(parts) + ")"))
+    return out
 
 
 def _map_keyword_preds(rule: Rule, c: str, inner: str = "scalar") -> List[tuple]:
@@ -345,6 +394,9 @@ def keyword_preds_sql(rule: Rule, c: str, elem_type: str = "scalar") -> List[tup
             # compile._keyword_preds yield order
             inner = elem_type[4:-1] if elem_type.startswith("map<") else "scalar"
             out.extend(_map_keyword_preds(rule, c, inner))
+        if kw == "allOf" and elem_type.startswith("struct<"):
+            # object-over-struct keywords sit between map and composition
+            out.extend(_struct_keyword_preds(rule, c, _parse_struct_hint(elem_type)))
         single = Rule()
         present = False
         if kw == "type" and rule.type is not None:

@@ -645,25 +645,16 @@ def q_kw_struct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _struct_oracle() -> str:
-    from .oracle import sql_pred
+    # generated through the same check_preds_sql path as every other
+    # column type, via the struct<f1:t1,...> elem-type hint (round 6) —
+    # the previously hand-assembled mirror is now mechanical
+    from .oracle import summary_sql
 
-    # same per-field subschema SQL the compiler's semantics demand, assembled
-    # in compile.py's orders (properties sorted by name; required as listed)
-    p_amount = sql_pred(Rule(minimum=0.0, maximum=300.0), "st.amount", "double")
-    p_kind = sql_pred(Rule(enum=["click", "view", "purchase", "signup"]), "st.kind")
-    props = f"(coalesce({p_amount}, TRUE) AND coalesce({p_kind}, TRUE))"
-    req = "((st.kind IS NOT NULL) AND (st.amount IS NOT NULL))"
-    rows = [("st.properties", props), ("st.required", req)]
-    selects = " UNION ALL ".join(
-        f"SELECT '{rid}' AS rule_id, "
-        f"SUM(CASE WHEN NOT (st IS NULL OR coalesce({p}, TRUE)) THEN 1 ELSE 0 END)::BIGINT AS fail_count, "
-        f"COUNT(*)::BIGINT AS row_count FROM derived"
-        for rid, p in rows
-    )
+    tr = TableRule(name="derived", columns={"st": STRUCT_RULE})
     return (
         "WITH derived AS (SELECT {'kind': CASE WHEN event_id % 11 != 0 THEN event_type END, "
         "'amount': value} AS st FROM events)\n"
-        + selects
+        + summary_sql(tr, "derived", {"st": "struct<kind:string,amount:double>"})
     )
 
 

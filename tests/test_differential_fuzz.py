@@ -4,8 +4,8 @@ data rows, asserting ``compile_table``'s Spark flags == the DuckDB oracle's
 strategy (``/root/reference/entities_test.go:13-107``) lifted from
 (de)serialization identity to PREDICATE SEMANTICS. The fixed transcript rule
 set pins 13 checks; this closes the long tail (nested composition × null ×
-stringly casts × array keywords × object-over-map keywords) with ≥300
-generated column schemas per run.
+stringly casts × array keywords × object-over-map keywords ×
+object-over-struct keywords) with ≥360 generated column schemas per run.
 
 Deterministic (``derandomize=True``): CI failures reproduce exactly.
 """
@@ -171,6 +171,28 @@ _map_scalars = st.fixed_dictionaries(
     },
 )
 
+# struct fields have STATIC types, so property sub-rules are generated
+# per-field (a string-keyword rule on the long field would be a
+# statically-implausible doc, out of this fuzzer's contract); "zz" is
+# deliberately absent from the physical schema — compile skips unknown
+# properties (statically absent ⇒ pass) and fails unknown required fields
+_struct_scalars = st.fixed_dictionaries(
+    {},
+    optional={
+        "properties": st.fixed_dictionaries(
+            {},
+            optional={
+                "kind": _string_sub,
+                "num": _int_scalars,
+                "zz": _string_sub,
+            },
+        ),
+        "required": st.lists(
+            st.sampled_from(["kind", "num", "zz"]), min_size=1, max_size=2, unique=True
+        ),
+    },
+)
+
 _table_docs = st.fixed_dictionaries(
     {
         "i": _with_composition(_int_scalars, 2),
@@ -178,7 +200,8 @@ _table_docs = st.fixed_dictionaries(
         "s": _with_composition(_string_scalars, 2),
         "a": _with_composition(_array_scalars, 1),
         "m": _with_composition(_map_scalars, 1),
-        "required": st.sets(st.sampled_from(["i", "d", "s", "a", "m"])),
+        "t": _with_composition(_struct_scalars, 1),
+        "required": st.sets(st.sampled_from(["i", "d", "s", "a", "m", "t"])),
     }
 )
 
@@ -202,11 +225,18 @@ _MAPS = [
     {"k1": ""}, {"k2": "true", "zz": "y"}, {"aaa": "aaa"},
     {"k1": "not-a-num", "num": "7"}, {"k1": "a", "k2": "b", "kx": "c", "num": "0"},
 ]
+_STRUCTS = [
+    None, (None, None), ("a", 1), ("123", -1), ("x", None), (None, 7),
+    ("abc", 100), ("", 0), ("y", 14), ("not-a-num", 3), ("12.0", -100),
+]
 
-_N_ROWS = max(len(_INTS), len(_DOUBLES), len(_STRINGS), len(_ARRAYS), len(_MAPS))
+_N_ROWS = max(
+    len(_INTS), len(_DOUBLES), len(_STRINGS), len(_ARRAYS), len(_MAPS), len(_STRUCTS)
+)
 
 _SPARK_SCHEMA = (
-    "id long, i long, d double, s string, a array<string>, m map<string,string>"
+    "id long, i long, d double, s string, a array<string>, m map<string,string>, "
+    "t struct<kind:string,num:bigint>"
 )
 #: "array<string>" / "map<string>" (not bare "array"/"map") so the oracle
 #: mirrors element/value-level type residues — the first divergence this
@@ -216,7 +246,7 @@ _SPARK_SCHEMA = (
 #: propertyNames key sub-rules (round 6)
 _ELEM_TYPES = {
     "i": "integer", "d": "double", "s": "string", "a": "array<string>",
-    "m": "map<string>",
+    "m": "map<string>", "t": "struct<kind:string,num:integer>",
 }
 
 
@@ -229,6 +259,7 @@ def _rows(extra_ints, extra_strings):
             _STRINGS[k % len(_STRINGS)],
             _ARRAYS[k % len(_ARRAYS)],
             _MAPS[k % len(_MAPS)],
+            _STRUCTS[k % len(_STRUCTS)],
         )
         for k in range(_N_ROWS)
     ]
@@ -242,6 +273,7 @@ def _rows(extra_ints, extra_strings):
                 sv,
                 [sv] if sv is not None else None,
                 {"k1": sv} if sv is not None else None,
+                (sv, iv),
             )
         )
     return rows
@@ -255,7 +287,7 @@ def _duck():
 
 
 @settings(
-    max_examples=60,  # x5 column rules per example = 300 generated schemas
+    max_examples=60,  # x6 column rules per example = 360 generated schemas
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
@@ -274,6 +306,7 @@ def test_compiled_flags_match_oracle(spark, _duck, docs, extra_ints, extra_strin
             "s": Rule.from_dict(docs["s"]),
             "a": Rule.from_dict(docs["a"]),
             "m": Rule.from_dict(docs["m"]),
+            "t": Rule.from_dict(docs["t"]),
         },
         metadata={"required": sorted(docs["required"])},
     )
@@ -303,6 +336,13 @@ def test_compiled_flags_match_oracle(spark, _duck, docs, extra_ints, extra_strin
             "m": pa.array(
                 [sorted(r[5].items()) if r[5] is not None else None for r in rows],
                 pa.map_(pa.string(), pa.string()),
+            ),
+            "t": pa.array(
+                [
+                    {"kind": r[6][0], "num": r[6][1]} if r[6] is not None else None
+                    for r in rows
+                ],
+                pa.struct([("kind", pa.string()), ("num", pa.int64())]),
             ),
         }
     )
