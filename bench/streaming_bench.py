@@ -80,26 +80,42 @@ def main() -> None:
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    def run_stream(build, mode: str, name: str) -> float:
+    def run_stream(build, mode: str, name: str, conf: dict | None = None) -> float:
         """One timed availableNow drain of the whole input (fresh checkpoint
-        ⇒ every file is processed)."""
-        stream = (
-            spark.readStream.schema(batch.schema)
-            .option("maxFilesPerTrigger", args.files_per_trigger)
-            .parquet(data)
-        )
-        ckpt = os.path.join(root, f"ckpt_{name}_{time.monotonic_ns()}")
-        t0 = time.perf_counter()
-        q = (
-            build(stream)
-            .writeStream.format("noop")
-            .outputMode(mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-        return time.perf_counter() - t0
+        ⇒ every file is processed). ``conf`` temporarily overrides session
+        SQL confs for this query (state-store provider is a per-query-start
+        session conf)."""
+        old: dict[str, str | None] = {}
+        for k, v in (conf or {}).items():
+            try:
+                old[k] = spark.conf.get(k)
+            except Exception:
+                old[k] = None
+            spark.conf.set(k, v)
+        try:
+            stream = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", args.files_per_trigger)
+                .parquet(data)
+            )
+            ckpt = os.path.join(root, f"ckpt_{name}_{time.monotonic_ns()}")
+            t0 = time.perf_counter()
+            q = (
+                build(stream)
+                .writeStream.format("noop")
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            return time.perf_counter() - t0
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
 
     timings: dict[str, float] = {}
 
@@ -136,6 +152,26 @@ def main() -> None:
         lambda s: conversation_verdict_stream(plan, s, "conv_id"),
         "update", "verd"))
 
+    # RocksDB state store (bundled in Spark 4) + changelog checkpointing:
+    # the candidate fix for the per-batch HDFS-backed state commit cost over
+    # many small groups (ROADMAP round-7 #6). Guarded — skip with a note if
+    # the native lib is unavailable on this box.
+    _ROCKSDB_CONF = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+    rocksdb_error = None
+    try:
+        timed("stream_contiguity_jvm_rocksdb", lambda: run_stream(
+            lambda s: contiguity_verdict_stream(s), "update", "contig_jvm_rdb",
+            conf=_ROCKSDB_CONF))
+        timed("stream_verdicts_rocksdb", lambda: run_stream(
+            lambda s: conversation_verdict_stream(plan, s, "conv_id"),
+            "update", "verd_rdb", conf=_ROCKSDB_CONF))
+    except Exception as ex:  # pragma: no cover - environment-dependent
+        rocksdb_error = f"{type(ex).__name__}: {ex}"[:200]
+
     line = {
         "metric": "streaming_vs_batch_turns_per_sec",
         "turns": n_turns,
@@ -154,6 +190,16 @@ def main() -> None:
             timings["stream_violations"] / timings["batch_violations"], 2
         ),
     }
+    if "stream_contiguity_jvm_rocksdb" in timings:
+        line["rocksdb_vs_hdfs_contiguity_speedup"] = round(
+            timings["stream_contiguity_jvm"] / timings["stream_contiguity_jvm_rocksdb"], 2
+        )
+    if "stream_verdicts_rocksdb" in timings:
+        line["rocksdb_vs_hdfs_verdicts_speedup"] = round(
+            timings["stream_verdicts"] / timings["stream_verdicts_rocksdb"], 2
+        )
+    if rocksdb_error:
+        line["rocksdb_error"] = rocksdb_error
     print(json.dumps(line))
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
