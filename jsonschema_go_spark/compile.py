@@ -124,6 +124,10 @@ class RuleRegistry:
     def resolve(self, ref: str) -> Optional[RuleOrBool]:
         return self._defs.get(ref)
 
+    def refs(self) -> List[str]:
+        """Registered ``$ref`` keys (empty ⇒ no definitions anywhere)."""
+        return list(self._defs)
+
     def resolver(self) -> Callable[[str], Optional[RuleOrBool]]:
         return self.resolve
 
@@ -629,6 +633,9 @@ def expected_annotation(rule: RuleOrBool, keyword: str) -> str:
         return "non-null"
     if rule is False:
         return "always-fail schema"
+    if keyword == "$ref":
+        # same string compile_column builds inline for its $ref check
+        return f"$ref {rule.ref}"
     return _EXPECTED_FMT[keyword](rule)
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Optional, Union
 
-from .rules import ABSENT, Rule, RuleOrBool, TableRule
+from .rules import ABSENT, Rule, RuleOrBool, TableRule, inline_refs
 from .compile import MULTIPLE_OF_EPS
 
 from .functions.formats import (
@@ -483,8 +483,19 @@ def check_preds_sql(
     would compile — same rule_ids, same ``required`` handling, same IsTrivial
     elision. Shared by :func:`summary_sql` and :func:`verdict_sql` so every
     oracle shape mirrors the identical check list."""
+    from .compile import RuleRegistry  # shares prefix/escape with compile_table
+
     elem_types = elem_types or {}
     required = set(table_rule.metadata.get("required", []))
+
+    # shared-definition registry — same construction as compile_table
+    # (definitions from EVERY column rule are visible to every other column)
+    registry = RuleRegistry()
+    for _, r in table_rule.columns.items():
+        if isinstance(r, Rule):
+            registry.load_definitions(r)
+    resolver = registry.resolver()
+
     selects: List[CheckPred] = []
     for col, rule in table_rule.columns.items():
         et = elem_types.get(col, "scalar")
@@ -497,9 +508,34 @@ def check_preds_sql(
         if rule is False:
             selects.append(CheckPred(f"{col}.false", col, "false", "FALSE"))
             continue
-        if elide_trivial and rule.is_trivial():
+        if elide_trivial and rule.is_trivial([resolver]):
             continue
-        for kw, p in keyword_preds_sql(rule, col, et):
+        if rule.ref is not None:
+            # mirror compile_column's separate `col.$ref` check: the target
+            # fully inlined, with the outer ref seeding the cycle stack so
+            # the cut happens at the same recursion depth as compile's
+            # _ref_stack=(rule.ref,); a ref left behind by the cycle cut is
+            # ignored by sql_pred, matching compile's cycle-pass semantics
+            target = resolver(rule.ref)
+            if target is None:
+                raise ValueError(f"unresolvable $ref: {rule.ref}")
+            if not isinstance(target, bool):
+                target = inline_refs(target, resolver, strict=True, _stack=(rule.ref,))
+            # no extra null-guard: sql_pred mirrors compile_pred exactly,
+            # including that a ref to the `false` schema fails NULL rows
+            # (compile_pred returns lit(False) unguarded there, while Rule
+            # targets carry their own NULL-passes wrap)
+            selects.append(
+                CheckPred(f"{col}.$ref", col, "$ref", sql_pred(target, col, et))
+            )
+        krule = rule
+        if registry.refs():
+            # sibling keywords see nested $refs resolved inline (compile's
+            # sub() resolves them with a fresh ref stack — so does this)
+            krule = rule.copy()
+            krule.ref = None
+            krule = inline_refs(krule, resolver, strict=True)
+        for kw, p in keyword_preds_sql(krule, col, et):
             # NULL input passes (required handled above)
             selects.append(
                 CheckPred(

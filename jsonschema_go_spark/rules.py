@@ -504,7 +504,9 @@ class TableRule:
         return cls.from_dict(json.loads(s))
 
 
-def inline_refs(rule: "RuleOrBool", resolver) -> "RuleOrBool":
+def inline_refs(
+    rule: "RuleOrBool", resolver, strict: bool = False, _stack: tuple = ()
+) -> "RuleOrBool":
     """``InlineRefs`` analog (``/root/reference/context.go:216-221``): rewrite
     a rule document with every resolvable ``$ref`` replaced by its definition
     inline, recursively.
@@ -517,7 +519,13 @@ def inline_refs(rule: "RuleOrBool", resolver) -> "RuleOrBool":
     behavior of keeping recursive definitions ref'd.
 
     ``resolver``: ``ref string -> RuleOrBool | None`` (e.g.
-    ``RuleRegistry.resolver()``); unresolvable refs are kept verbatim.
+    ``RuleRegistry.resolver()``); unresolvable refs are kept verbatim, or
+    raise ``ValueError`` under ``strict=True`` (cyclic refs are still kept —
+    only a ref the resolver cannot produce at all is an error). ``_stack``
+    seeds the cycle-detection path — callers that already resolved an outer
+    ref pass it so the cycle cut matches the caller's own recursion depth
+    (``oracle.check_preds_sql`` mirrors ``compile_column``'s ref stack this
+    way).
 
     The traversal is KEYWORD-AWARE: only the values of schema-bearing
     keywords are walked as schemas. Data-carrying keyword values
@@ -564,6 +572,8 @@ def inline_refs(rule: "RuleOrBool", resolver) -> "RuleOrBool":
         if ref is not None:
             target = None if ref in stack else resolver(ref)
             if target is None:
+                if strict and ref not in stack:
+                    raise ValueError(f"unresolvable $ref: {ref}")
                 out["$ref"] = ref  # cycle or unresolvable: keep the ref
             else:
                 t = (
@@ -579,5 +589,5 @@ def inline_refs(rule: "RuleOrBool", resolver) -> "RuleOrBool":
 
     if isinstance(rule, bool):
         return rule
-    result = walk(rule.to_dict(), ())
+    result = walk(rule.to_dict(), _stack)
     return result if isinstance(result, bool) else Rule.from_dict(result)

@@ -5,7 +5,8 @@ strategy (``/root/reference/entities_test.go:13-107``) lifted from
 (de)serialization identity to PREDICATE SEMANTICS. The fixed transcript rule
 set pins 13 checks; this closes the long tail (nested composition × null ×
 stringly casts × array keywords × object-over-map keywords ×
-object-over-struct keywords) with ≥360 generated column schemas per run.
+object-over-struct keywords × typed map values × $ref/definitions forms)
+with ≥420 generated column schemas per run.
 
 Deterministic (``derandomize=True``): CI failures reproduce exactly.
 """
@@ -145,6 +146,9 @@ _dep_schema = st.fixed_dictionaries(
 _map_scalars = st.fixed_dictionaries(
     {},
     optional={
+        # statically satisfied on a map/struct column — both sides must
+        # elide it (compile: None pred; oracle: "TRUE" skip)
+        "type": st.sampled_from(["object", ["object", "null"]]),
         "minProperties": st.integers(1, 3),
         "maxProperties": st.integers(0, 4),
         "required": st.lists(st.sampled_from(_MAP_KEYS), min_size=1, max_size=2, unique=True),
@@ -171,6 +175,36 @@ _map_scalars = st.fixed_dictionaries(
     },
 )
 
+# typed (integer) map values: same object keywords, value sub-rules are
+# numeric — exercises the map<integer> hint where `type` residues are
+# statically satisfied instead of stringly-cast
+_int_map_scalars = st.fixed_dictionaries(
+    {},
+    optional={
+        "type": st.sampled_from(["object", ["object", "null"]]),
+        "minProperties": st.integers(1, 3),
+        "maxProperties": st.integers(0, 4),
+        "required": st.lists(st.sampled_from(_MAP_KEYS), min_size=1, max_size=2, unique=True),
+        "properties": st.dictionaries(
+            st.sampled_from(_MAP_KEYS), _int_scalars, min_size=1, max_size=2
+        ),
+        "additionalProperties": st.one_of(st.booleans(), _int_scalars),
+        "patternProperties": st.dictionaries(
+            st.sampled_from(_PATTERNS), _int_scalars, min_size=1, max_size=1
+        ),
+        "propertyNames": _string_sub,
+        "dependencies": st.dictionaries(
+            st.sampled_from(["k1", "k2"]),
+            st.one_of(
+                st.lists(st.sampled_from(_MAP_KEYS), max_size=2, unique=True),
+                _dep_schema,
+            ),
+            min_size=1,
+            max_size=2,
+        ),
+    },
+)
+
 # struct fields have STATIC types, so property sub-rules are generated
 # per-field (a string-keyword rule on the long field would be a
 # statically-implausible doc, out of this fuzzer's contract); "zz" is
@@ -179,6 +213,7 @@ _map_scalars = st.fixed_dictionaries(
 _struct_scalars = st.fixed_dictionaries(
     {},
     optional={
+        "type": st.sampled_from(["object", ["object", "null"]]),
         "properties": st.fixed_dictionaries(
             {},
             optional={
@@ -193,15 +228,43 @@ _struct_scalars = st.fixed_dictionaries(
     },
 )
 
+# $ref wrappers (round 6): move the doc into definitions and reference it —
+# pure-ref, ref-with-sibling-keywords, and nested-ref-in-composition forms,
+# exercising the registry + inline path on both sides (compile resolves via
+# RuleRegistry; the oracle inlines via rules.inline_refs)
+
+
+def _reffed(doc):
+    return {"definitions": {"SDef": dict(doc)}, "$ref": "#/definitions/SDef"}
+
+
+def _reffed_mixed(doc, sib):
+    out = {"definitions": {"SDef": dict(doc)}, "$ref": "#/definitions/SDef"}
+    out.update(sib)
+    return out
+
+
+def _reffed_nested(doc):
+    return {"definitions": {"SDef": dict(doc)}, "allOf": [{"$ref": "#/definitions/SDef"}]}
+
+
+_string_doc = st.one_of(
+    _with_composition(_string_scalars, 2),
+    st.builds(_reffed, _with_composition(_string_scalars, 1)),
+    st.builds(_reffed_mixed, _string_scalars, _string_scalars),
+    st.builds(_reffed_nested, _string_scalars),
+)
+
 _table_docs = st.fixed_dictionaries(
     {
         "i": _with_composition(_int_scalars, 2),
         "d": _with_composition(_double_scalars, 2),
-        "s": _with_composition(_string_scalars, 2),
+        "s": _string_doc,
         "a": _with_composition(_array_scalars, 1),
         "m": _with_composition(_map_scalars, 1),
+        "mi": _with_composition(_int_map_scalars, 1),
         "t": _with_composition(_struct_scalars, 1),
-        "required": st.sets(st.sampled_from(["i", "d", "s", "a", "m", "t"])),
+        "required": st.sets(st.sampled_from(["i", "d", "s", "a", "m", "mi", "t"])),
     }
 )
 
@@ -229,14 +292,20 @@ _STRUCTS = [
     None, (None, None), ("a", 1), ("123", -1), ("x", None), (None, 7),
     ("abc", 100), ("", 0), ("y", 14), ("not-a-num", 3), ("12.0", -100),
 ]
+_INT_MAPS = [
+    None, {}, {"k1": 0}, {"k1": 7, "k2": -1}, {"kx": 3}, {"num": 14},
+    {"k1": 2, "k2": 2, "k3": 6}, {"UPPER": 1}, {"k2": 100, "zz": -5},
+    {"k1": 1, "k2": 2, "kx": 3, "num": 4}, {"aaa": 0},
+]
 
 _N_ROWS = max(
-    len(_INTS), len(_DOUBLES), len(_STRINGS), len(_ARRAYS), len(_MAPS), len(_STRUCTS)
+    len(_INTS), len(_DOUBLES), len(_STRINGS), len(_ARRAYS), len(_MAPS),
+    len(_STRUCTS), len(_INT_MAPS)
 )
 
 _SPARK_SCHEMA = (
     "id long, i long, d double, s string, a array<string>, m map<string,string>, "
-    "t struct<kind:string,num:bigint>"
+    "t struct<kind:string,num:bigint>, mi map<string,bigint>"
 )
 #: "array<string>" / "map<string>" (not bare "array"/"map") so the oracle
 #: mirrors element/value-level type residues — the first divergence this
@@ -247,6 +316,7 @@ _SPARK_SCHEMA = (
 _ELEM_TYPES = {
     "i": "integer", "d": "double", "s": "string", "a": "array<string>",
     "m": "map<string>", "t": "struct<kind:string,num:integer>",
+    "mi": "map<integer>",
 }
 
 
@@ -260,6 +330,7 @@ def _rows(extra_ints, extra_strings):
             _ARRAYS[k % len(_ARRAYS)],
             _MAPS[k % len(_MAPS)],
             _STRUCTS[k % len(_STRUCTS)],
+            _INT_MAPS[k % len(_INT_MAPS)],
         )
         for k in range(_N_ROWS)
     ]
@@ -274,6 +345,7 @@ def _rows(extra_ints, extra_strings):
                 [sv] if sv is not None else None,
                 {"k1": sv} if sv is not None else None,
                 (sv, iv),
+                {"k1": iv} if iv is not None else None,
             )
         )
     return rows
@@ -287,7 +359,7 @@ def _duck():
 
 
 @settings(
-    max_examples=60,  # x6 column rules per example = 360 generated schemas
+    max_examples=60,  # x7 column rules per example = 420 generated schemas
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
@@ -306,6 +378,7 @@ def test_compiled_flags_match_oracle(spark, _duck, docs, extra_ints, extra_strin
             "s": Rule.from_dict(docs["s"]),
             "a": Rule.from_dict(docs["a"]),
             "m": Rule.from_dict(docs["m"]),
+            "mi": Rule.from_dict(docs["mi"]),
             "t": Rule.from_dict(docs["t"]),
         },
         metadata={"required": sorted(docs["required"])},
@@ -343,6 +416,10 @@ def test_compiled_flags_match_oracle(spark, _duck, docs, extra_ints, extra_strin
                     for r in rows
                 ],
                 pa.struct([("kind", pa.string()), ("num", pa.int64())]),
+            ),
+            "mi": pa.array(
+                [sorted(r[7].items()) if r[7] is not None else None for r in rows],
+                pa.map_(pa.string(), pa.int64()),
             ),
         }
     )
