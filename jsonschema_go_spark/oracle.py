@@ -265,10 +265,28 @@ def sql_pred(
 
 def _parse_struct_hint(elem_type: str) -> dict:
     """``struct<f1:string,f2:integer>`` → {"f1": "string", "f2": "integer"}.
-    Field hints are scalar elem-type hints (no nested struct/map/array)."""
+
+    Field hints are full elem-type hints, including nested containers
+    (``struct<a:struct<x:string,y:integer>,b:array<string>>``): commas are
+    split at bracket depth 0 only, and the field separator is the FIRST
+    colon, so the nested hint passes through whole and recurses in
+    :func:`sql_pred` like the array/map inner hints do."""
     fields: dict = {}
     body = elem_type[7:-1]
-    for part in body.split(",") if body else []:
+    depth, cur, parts = 0, [], []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    for part in parts:
         k, _, t = part.partition(":")
         fields[k.strip()] = t.strip() or "scalar"
     return fields
