@@ -88,11 +88,31 @@ def sql_pred(
 ) -> str:
     """Compile a rule to ONE SQL boolean expression over expression ``c``.
 
-    ``elem_type`` hints the physical type for `type`-keyword residues:
-    ``scalar`` (typed column — type statically satisfied), ``double``
-    (fractional numeric: integer ⇒ integral check), ``string`` (stringly
-    ingest: cast checks), ``array`` (scalar elements) or ``array<inner>``
-    (elements carry the ``inner`` hint into contains/items sub-predicates).
+    ``elem_type`` hints the physical type for `type`-keyword residues and
+    selects the container keyword branches. The grammar COMPOSES (round 6):
+
+    - ``scalar`` — typed column, type statically satisfied
+    - ``double`` — fractional numeric: ``integer`` ⇒ integral-value check
+    - ``string`` — stringly ingest: cast checks for integer/number/boolean
+    - ``integer`` / ``timestamp`` / ``date`` — static numerics / temporal
+      rendering quirks (see format/minimum handling below)
+    - ``array`` / ``array<inner>`` — list keywords; ``inner`` (any hint in
+      this grammar, containers included) carries into contains/items/
+      additionalItems sub-predicates
+    - ``map`` / ``map<inner>`` — object-over-map keywords; ``inner`` is the
+      VALUE hint for properties/additionalProperties/patternProperties
+      (propertyNames keys are always ``string``)
+    - ``struct<f1:h1,f2:h2,...>`` — object-over-struct keywords; per-field
+      hints, comma-split at bracket depth 0 so nested container hints
+      (``struct<a:struct<x:string>,b:array<string>>``) pass through whole
+
+    Each hint recurses exactly where ``compile.compile_pred`` recurses with
+    the real nested DataType (parity: tests/test_nested_hints.py,
+    tests/test_differential_fuzz.py). ``$ref`` on a rule reaching this
+    function directly is ignored — :func:`check_preds_sql` resolves refs
+    via the shared registry BEFORE predicates are rendered, and a ref
+    surviving that inline pass is a cycle cut, which compile also treats
+    as pass.
     """
     if rule is True:
         return "TRUE"
