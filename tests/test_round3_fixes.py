@@ -140,6 +140,8 @@ def test_exact_neardup_samples_both_sides(spark):
     cartesian)."""
     from jsonschema_go_spark.operators import similarity as sim
 
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out = sim.embedding_near_dup_pairs(
         df, "vec_id", "embedding", threshold=0.0, sample_mod=4
@@ -147,9 +149,17 @@ def test_exact_neardup_samples_both_sides(spark):
     rows = out.collect()
     assert rows, "sampled audit produced no pairs at threshold 0"
     assert all(r["id_a"] % 4 == 0 and r["id_b"] % 4 == 0 for r in rows)
-    # the physical plan filters both join inputs before the cartesian
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("% 4) = 0") >= 2
+    # r7: the sampled path is the broadcast+mapInArrow vectorized form —
+    # pin it bit-for-bit against the ground-truth cartesian (sample_mod=None
+    # on the pre-filtered sample), which is strictly stronger than the old
+    # plan-string check that both join inputs were sampled
+    truth = sim.embedding_near_dup_pairs(
+        df.where(F.col("vec_id") % 4 == 0), "vec_id", "embedding",
+        threshold=0.0, sample_mod=None,
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["cos"]) for r in rows} == {
+        (r["id_a"], r["id_b"], r["cos"]) for r in truth
+    }
 
 
 # --------------------------------------- 4. streaming non-string conv keys
