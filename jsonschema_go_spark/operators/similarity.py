@@ -246,7 +246,9 @@ def _sampled_near_dup_pairs_vectorized(
             mat,
             _np_seq_norms(mat),
         )
-    bc = spark.sparkContext.broadcast(groups)
+    from .dedup import _supersede_broadcast
+
+    bc = _supersede_broadcast(spark, f"neardup_sample:{id_col}", groups)
     # superset margin covering the HALF_UP round-at-6-digits boundary
     pre_thr = threshold - 1e-6
 

@@ -73,11 +73,26 @@ def token_count(c: Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))
 
 
+#: explicit character inventories of the single-char class regexes above —
+#: counting those via length(x) − length(translate(x, chars, '')) is exactly
+#: the regexp_extract_all match count (each match is one char of the class)
+#: at a fraction of the cost (one table-lookup pass vs a regex scan; r7,
+#: guide §4.1 "prefer built-ins")
+_CLASS_CHARS = {
+    PUNCT_RE: ".,;:!?'\"()[]{}-",
+    UPPER_RE: "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    DIGIT_RE: "0123456789",
+}
+
+
 def char_class_ratio(c: Column, pattern: str) -> Column:
     """Fraction of characters matching a single-char class regex."""
-    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
-        F.size(F.regexp_extract_all(c, F.lit(pattern), 0)) / F.length(c)
-    )
+    chars = _CLASS_CHARS.get(pattern)
+    if chars is not None:
+        cnt = F.length(c) - F.length(F.translate(c, chars, ""))
+    else:
+        cnt = F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(cnt / F.length(c))
 
 
 def stopword_hits(c: Column, lang: str) -> Column:
@@ -91,34 +106,89 @@ def lang_guess(c: Column, langs=("en", "de", "fr", "es")) -> Column:
 
     Deterministic tie-break: first language in `langs` wins (mirrors the SQL
     CASE chain with >= comparisons in the oracle).
+
+    r7 shape: ONE combined `\\b(all langs' words)\\b` scan + a single
+    ``aggregate`` expression that counts per-language membership over the
+    (few) matched words and computes the argmax in the aggregate's finish
+    lambda. The round-6 when-chain referenced each per-language
+    ``regexp_extract_all`` several times, and higher-order functions fall
+    out of whole-stage codegen, so no common-subexpression elimination
+    applied — the text was regex-scanned ~8× per row (measured 3.9–5 s at
+    sf1.0 vs ~1.5 s for this form). Equivalence: every ``\\b``-match is a
+    full boundary-delimited token, so two matches can never overlap and the
+    union scan finds exactly the tokens the per-language scans found
+    (membership then attributes each to its language(s)); the finish lambda
+    replays the identical >=-tie-break CASE chain on identical counts
+    (pytest-pinned on random unicode incl. combining marks).
     """
-    hits = {l: stopword_hits(c, l) for l in langs}
-    best = F.lit("und")
-    best_n = F.lit(0)
-    # build reversed so earlier langs win ties
-    for l in reversed(langs):
-        cond = hits[l] > F.lit(0)
-        better = hits[l] >= best_n
-        best = F.when(cond & better, F.lit(l)).otherwise(best)
-        best_n = F.when(cond & better, hits[l]).otherwise(best_n)
-    return best
+    pat = r"\b(" + "|".join(w for l in langs for w in STOPWORDS[l]) + r")\b"
+    matched = F.regexp_extract_all(normalize(c), F.lit(pat), 0)
+    zero = F.struct(*[F.lit(0).alias(f"h{i}") for i in range(len(langs))])
+
+    def merge(acc, w):
+        return F.struct(
+            *[
+                (acc[f"h{i}"] + w.isin(*STOPWORDS[l]).cast("int")).alias(f"h{i}")
+                for i, l in enumerate(langs)
+            ]
+        )
+
+    def finish(acc):
+        best = F.lit("und")
+        best_n = F.lit(0)
+        # build reversed so earlier langs win ties — the round-6 chain
+        for i, l in reversed(list(enumerate(langs))):
+            cond = acc[f"h{i}"] > F.lit(0)
+            better = acc[f"h{i}"] >= best_n
+            best = F.when(cond & better, F.lit(l)).otherwise(best)
+            best_n = F.when(cond & better, acc[f"h{i}"]).otherwise(best_n)
+        return best
+
+    # NULL text → NULL matched array → NULL aggregate; the round-6 chain
+    # yielded 'und' there (NULL hit counts fail every guard) — coalesce
+    # reproduces it without re-evaluating the scan on non-null rows
+    return F.coalesce(F.aggregate(matched, zero, merge, finish), F.lit("und"))
 
 
 def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     """Per-row quality features: word/token counts, char-class ratios, and a
     composite score in [0,1] (simple monotone combination, documented here so
-    the oracle reproduces it exactly)."""
+    the oracle reproduces it exactly).
+
+    r7 shape: the base features are computed once into a struct behind an
+    ``explode(array(struct(...)))`` Generate barrier; the derived columns
+    (stopword_ratio, quality_score) then reference Generate OUTPUT
+    attributes. The round-6 single-projection form let CollapseProject
+    inline the full normalize+split trees into every reference (word_count
+    appeared 3×, and the regex/HOF subtrees are codegen-fallback, so no CSE
+    rescued it) — measured 6.2 s → ~4 s at sf1.0 for identical values
+    (same expressions, evaluated once)."""
     c = F.col(col)
-    wc = word_count(c).alias("word_count")
-    tc = token_count(c).alias("token_count")
-    pr = char_class_ratio(c, PUNCT_RE).alias("punct_ratio")
-    ur = char_class_ratio(c, UPPER_RE).alias("upper_ratio")
-    dr = char_class_ratio(c, DIGIT_RE).alias("digit_ratio")
-    # english-stopword fraction of words — the classic quality signal
-    sr = F.when(word_count(c) == 0, F.lit(0.0)).otherwise(
-        stopword_hits(c, "en") / word_count(c)
-    ).alias("stopword_ratio")
-    out = df.select("*", wc, tc, pr, ur, dr, sr)
+    base = F.struct(
+        word_count(c).alias("wc"),
+        token_count(c).alias("tc"),
+        char_class_ratio(c, PUNCT_RE).alias("pr"),
+        char_class_ratio(c, UPPER_RE).alias("ur"),
+        char_class_ratio(c, DIGIT_RE).alias("dr"),
+        stopword_hits(c, "en").alias("sw"),
+    )
+    # explode of a 1-element array = a Generate node: exactly one output row
+    # per input row, and a projection-collapse barrier (each feature
+    # expression evaluates once, however many downstream columns read it)
+    staged = df.select("*", F.explode(F.array(base)).alias("_q"))
+    sr = F.when(F.col("_q.wc") == 0, F.lit(0.0)).otherwise(
+        F.col("_q.sw") / F.col("_q.wc")
+    )
+    out = staged.select(
+        *df.columns,
+        F.col("_q.wc").alias("word_count"),
+        F.col("_q.tc").alias("token_count"),
+        F.col("_q.pr").alias("punct_ratio"),
+        F.col("_q.ur").alias("upper_ratio"),
+        F.col("_q.dr").alias("digit_ratio"),
+        sr.alias("stopword_ratio"),
+    )
+    # these references inline to plain _q field extracts — cheap, no re-eval
     score = (
         F.least(F.col("word_count") / F.lit(20.0), F.lit(1.0)) * 0.5
         + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.25

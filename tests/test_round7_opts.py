@@ -172,6 +172,107 @@ def test_simhash_pairs_bitcount_matches_digit_form(spark):
         assert old == new
 
 
+def test_jaccard_vectorized_bitexact_vs_join_form(spark):
+    """The broadcast-index numpy pair counter must reproduce the join +
+    aggregation form bit-for-bit (ids, integer counts, rounded jaccard) —
+    across thresholds and a binding hot-shingle cap."""
+    import struct as _struct
+
+    from jsonschema_go_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    def key(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["common"], r["n_a"], r["n_b"],
+             _struct.pack("<d", r["jaccard"]))
+            for r in df.collect()
+        )
+
+    for thr, cap in ((0.4, 1000), (0.1, 1000), (0.4, 5)):
+        sh = dd.shingle_table(docs, "doc_id", "text", 3)
+        old = key(dd._jaccard_pairs_join(sh, "doc_id", thr, cap))
+        new = key(dd.jaccard_pairs(docs, "doc_id", "text", 3, thr, cap))
+        assert old == new, (thr, cap)
+    # degenerate corpus: no shingles at all -> empty frame, stable schema
+    e = spark.createDataFrame([(1, "a b"), (2, None)], "doc_id int, text string")
+    out = dd.jaccard_pairs(e, "doc_id", "text", 3, 0.4)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "common", "n_a", "n_b", "jaccard"]
+
+
+def test_lang_guess_single_scan_matches_chain(spark):
+    """The one-scan aggregate/finish lang_guess must equal the round-6
+    per-language when-chain on random unicode (incl. combining marks) and
+    NULL/empty text."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_go_spark.operators import text as tx
+
+    def old_lang_guess(c, langs=("en", "de", "fr", "es")):
+        hits = {l: tx.stopword_hits(c, l) for l in langs}
+        best = F.lit("und")
+        best_n = F.lit(0)
+        for l in reversed(langs):
+            cond = hits[l] > F.lit(0)
+            better = hits[l] >= best_n
+            best = F.when(cond & better, F.lit(l)).otherwise(best)
+            best_n = F.when(cond & better, hits[l]).otherwise(best_n)
+        return best
+
+    random.seed(123)
+    alphabet = list("the la le der und el los es ist no que pour mit ") + list(
+        "abcxyz λéïß周你 ½²_0189.,;:!?'\"()[]{}-\t\n  ©😀́"
+    )
+    rows = [
+        (i, "".join(random.choice(alphabet) for _ in range(random.randint(0, 80))))
+        for i in range(300)
+    ]
+    rows += [(2000, None), (2001, ""), (2002, "the der le el"), (2003, "́the λthe the")]
+    df = spark.createDataFrame(rows, "i int, text string")
+    bad = df.select(
+        old_lang_guess(F.col("text")).alias("o"), tx.lang_guess(F.col("text")).alias("n")
+    ).where(~(F.col("o").eqNullSafe(F.col("n")))).count()
+    assert bad == 0
+
+
+def test_quality_features_barrier_matches_inline_form(spark):
+    """quality_features' Generate-barrier restructure computes identical
+    values and schema to the round-6 single-projection form."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_go_spark.operators import text as tx
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+
+    def old_quality(df, col="text"):
+        c = F.col(col)
+        wc = tx.word_count(c).alias("word_count")
+        tc = tx.token_count(c).alias("token_count")
+        pr = tx.char_class_ratio(c, tx.PUNCT_RE).alias("punct_ratio")
+        ur = tx.char_class_ratio(c, tx.UPPER_RE).alias("upper_ratio")
+        dr = tx.char_class_ratio(c, tx.DIGIT_RE).alias("digit_ratio")
+        sr = F.when(tx.word_count(c) == 0, F.lit(0.0)).otherwise(
+            tx.stopword_hits(c, "en") / tx.word_count(c)
+        ).alias("stopword_ratio")
+        out = df.select("*", wc, tc, pr, ur, dr, sr)
+        score = (
+            F.least(F.col("word_count") / F.lit(20.0), F.lit(1.0)) * 0.5
+            + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.25
+            + (1.0 - F.least(F.col("digit_ratio") * 4.0, F.lit(1.0))) * 0.25
+        )
+        return out.withColumn("quality_score", F.round(score, 6))
+
+    o = old_quality(docs)
+    n = tx.quality_features(docs)
+    assert o.schema.simpleString() == n.schema.simpleString()
+    assert o.exceptAll(n).count() == 0 and n.exceptAll(o).count() == 0
+
+
 def test_vectorized_neardup_preserves_id_dtype(spark):
     df = spark.createDataFrame(
         [(0, [1.0] * 4), (4, [1.0] * 4)], "vec_id int, embedding array<double>"
