@@ -339,6 +339,7 @@ def lsh_near_dup_pairs(
     rows_per_band: int = 8,
     seed: int = 42,
     max_bucket_freq: Optional[int] = None,
+    max_broadcast_vectors: int = 100_000,
 ) -> DataFrame:
     """SCALE-PATH embedding near-duplicates: banded sign-LSH candidate
     generation + exact-cosine verification → ``(id_a, id_b, cos ≥ threshold)``.
@@ -403,25 +404,264 @@ def lsh_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many bands
     )
-    # norms precomputed ONCE per vector (each pair then costs one dot fold)
+    # exact verification (r7): the candidate set is collision-dominated
+    # (1.45M pairs at sf1.0 for ~2k true ones) and the round-6 tail both
+    # SHUFFLED a 64-double vector payload per candidate side through two
+    # id-joins (guide §8: decide with small rows, move big rows once) and
+    # paid an interpreted zip_with fold per pair. When the vector table
+    # fits the broadcast guard, candidates now stay IDS-ONLY end to end:
+    # each task looks both sides up in one broadcast matrix and replays the
+    # sequential IEEE fold in numpy (bit-identical doubles; zero-norm /
+    # NULL / length-mismatch semantics replicated — pytest-pinned). Python
+    # emits a raw-cos superset; Spark applies the identical round(…,6) +
+    # threshold filter. Beyond the guard the join+vectorized-verify form
+    # runs instead (no broadcast, unchanged scale story).
+    import pyarrow as pa
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+    pre_thr = threshold - 1e-6
+    if max_broadcast_vectors and df.limit(max_broadcast_vectors + 1).count() <= max_broadcast_vectors:
+        return _lsh_verify_broadcast(
+            df, id_col, vec_col, cand, threshold, pre_thr, id_dt
+        )
     vecs = df.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_vv"),
-        norm(F.col(vec_col)).alias("_vn"),
     )
-    return (
+    joined = (
         cand.join(vecs.withColumnRenamed("_vid", "id_a"), "id_a")
-        .withColumnsRenamed({"_vv": "_va", "_vn": "_na"})
+        .withColumnsRenamed({"_vv": "_va"})
         .join(vecs.withColumnRenamed("_vid", "id_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                _safe_ratio(dot(F.col("_va"), F.col("_vv")), F.col("_na"), F.col("_vn")), 6
-            ).alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "_va", F.col("_vv").alias("_vb"))
     )
+
+    def _fixed_matrix(col, n):
+        """(n, L) float64 matrix when every row is a same-length, null-free
+        list (the embedding fast path — numpy reshape of the flat values
+        buffer, no per-row Python), else None."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = col.combine_chunks() if not isinstance(col, pa.Array) else col
+        if col.null_count:
+            return None
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if len(lens) == 0 or lens.min() != lens.max():
+            return None
+        flat = col.flatten()
+        if flat.null_count:
+            return None
+        vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        return vals.reshape(n, int(lens[0]))
+
+    def verify(batches):
+        import numpy as np
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([], type=batch.column(0).type),
+                        pa.array([], type=batch.column(1).type),
+                        pa.array([], type=pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "_rawcos"],
+                )
+                continue
+            A = _fixed_matrix(batch.column(2), n)
+            B = _fixed_matrix(batch.column(3), n)
+            if A is not None and B is not None and A.shape[1] == B.shape[1]:
+                na = _np_seq_norms(A)
+                nb = _np_seq_norms(B)
+                denom = na * nb
+                acc = np.zeros(n)
+                for j in range(A.shape[1]):
+                    acc = acc + A[:, j] * B[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(
+                        denom == 0.0, -1.0, acc / np.where(denom == 0.0, 1.0, denom)
+                    )
+                m = cos >= pre_thr
+                keep_rows = np.nonzero(m)[0]
+                coss = cos[m]
+            else:
+                # slow path: ragged/NULL-bearing batch — per-row grouping
+                va = batch.column(2).to_pylist()
+                vb = batch.column(3).to_pylist()
+                keep_list, cos_list = [], []
+                groups: dict = {}
+                for i in range(n):
+                    a, b = va[i], vb[i]
+                    if a is None or b is None:
+                        continue
+                    groups.setdefault((len(a), len(b)), []).append(i)
+                for (la, lb), idxs in groups.items():
+                    Am = np.array([va[i] for i in idxs], dtype=np.float64).reshape(
+                        len(idxs), la
+                    )
+                    Bm = np.array([vb[i] for i in idxs], dtype=np.float64).reshape(
+                        len(idxs), lb
+                    )
+                    na = _np_seq_norms(Am)
+                    nb = _np_seq_norms(Bm)
+                    denom = na * nb
+                    if la == lb:
+                        acc = np.zeros(len(idxs))
+                        for j in range(la):
+                            acc = acc + Am[:, j] * Bm[:, j]
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            cos = np.where(
+                                denom == 0.0,
+                                -1.0,
+                                acc / np.where(denom == 0.0, 1.0, denom),
+                            )
+                    else:
+                        # zip_with null-pads → NULL dot; only the zero-norm
+                        # guard can still emit (-1.0), as in the join form
+                        cos = np.where(denom == 0.0, -1.0, np.nan)
+                    m = cos >= pre_thr
+                    keep_list.extend(idxs[i] for i in np.nonzero(m)[0])
+                    cos_list.extend(cos[m])
+                keep_rows = np.array(keep_list, dtype=np.int64)
+                coss = np.array(cos_list, dtype=np.float64)
+            take = pa.array(keep_rows.astype(np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).take(take),
+                    batch.column(1).take(take),
+                    pa.array(coss.astype(np.float64)),
+                ],
+                names=["id_a", "id_b", "_rawcos"],
+            )
+
+    scored = joined.mapInArrow(
+        verify, f"id_a {id_dt}, id_b {id_dt}, _rawcos double"
+    )
+    return scored.select(
+        "id_a", "id_b", F.round(F.col("_rawcos"), 6).alias("cos")
+    ).where(F.col("cos") >= threshold)
+
+
+def _lsh_verify_broadcast(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cand: DataFrame,
+    threshold: float,
+    pre_thr: float,
+    id_dt: str,
+) -> DataFrame:
+    """Candidate verification against a BROADCAST vector table (see
+    :func:`lsh_near_dup_pairs`): candidates stay (id_a, id_b) through the
+    whole tail; both vectors are looked up in the broadcast per-length
+    matrices and scored with the bit-exact sequential fold. Pairs whose
+    side is missing/NULL drop (the join form's NULL cos); cross-length
+    pairs survive only via the zero-norm −1.0 guard."""
+    import numpy as np
+
+    from .dedup import _supersede_broadcast
+
+    spark = df.sparkSession
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    rows = side.collect()
+    by_len: dict = {}
+    for r in rows:
+        v = r["_v"]
+        by_len.setdefault(len(v), ([], []))
+        ids, vecs = by_len[len(v)]
+        ids.append(r["_id"])
+        vecs.append(v)
+    all_ids, all_norm, all_grp, all_row = [], [], [], []
+    groups = {}
+    for gi, (ln, (ids, vecs)) in enumerate(sorted(by_len.items())):
+        mat = np.array(vecs, dtype=np.float64)
+        if mat.ndim == 1:
+            mat = mat.reshape(len(vecs), 0)
+        groups[gi] = mat
+        nrm = _np_seq_norms(mat)
+        all_ids.extend(ids)
+        all_norm.extend(nrm)
+        all_grp.extend([gi] * len(ids))
+        all_row.extend(range(len(ids)))
+    all_ids = np.array(all_ids, dtype=np.int64)
+    order = np.argsort(all_ids, kind="stable")
+    lut = (
+        all_ids[order],
+        np.array(all_norm, dtype=np.float64)[order],
+        np.array(all_grp, dtype=np.int64)[order],
+        np.array(all_row, dtype=np.int64)[order],
+        groups,
+    )
+    bc = _supersede_broadcast(spark, f"lsh_vecs:{id_col}", lut)
+
+    def verify(batches):
+        import pyarrow as pa
+
+        s_ids, s_norm, s_grp, s_row, mats = bc.value
+
+        def locate(ids):
+            pos = np.searchsorted(s_ids, ids)
+            pos = np.clip(pos, 0, len(s_ids) - 1)
+            found = (len(s_ids) > 0) & (s_ids[pos] == ids)
+            return pos, found
+
+        for batch in batches:
+            ia = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(ia)
+            if n == 0 or len(s_ids) == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(0).take(pa.array([], type=pa.int64())),
+                        batch.column(1).take(pa.array([], type=pa.int64())),
+                        pa.array([], type=pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "_rawcos"],
+                )
+                continue
+            pa_pos, fa = locate(ia)
+            pb_pos, fb = locate(ib)
+            ok = fa & fb
+            cos = np.full(n, np.nan)
+            ga, gb = s_grp[pa_pos], s_grp[pb_pos]
+            na, nb = s_norm[pa_pos], s_norm[pb_pos]
+            denom = na * nb
+            same = ok & (ga == gb)
+            for gi, mat in mats.items():
+                sel = np.nonzero(same & (ga == gi))[0]
+                if not len(sel):
+                    continue
+                A = mat[s_row[pa_pos[sel]]]
+                B = mat[s_row[pb_pos[sel]]]
+                acc = np.zeros(len(sel))
+                for j in range(mat.shape[1]):
+                    acc = acc + A[:, j] * B[:, j]
+                d = denom[sel]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos[sel] = np.where(
+                        d == 0.0, -1.0, acc / np.where(d == 0.0, 1.0, d)
+                    )
+            cross = ok & (ga != gb)
+            cos[cross] = np.where(denom[cross] == 0.0, -1.0, np.nan)
+            m = cos >= pre_thr
+            take = pa.array(np.nonzero(m)[0].astype(np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).take(take),
+                    batch.column(1).take(take),
+                    pa.array(cos[m].astype(np.float64)),
+                ],
+                names=["id_a", "id_b", "_rawcos"],
+            )
+
+    scored = cand.mapInArrow(verify, f"id_a {id_dt}, id_b {id_dt}, _rawcos double")
+    return scored.select(
+        "id_a", "id_b", F.round(F.col("_rawcos"), 6).alias("cos")
+    ).where(F.col("cos") >= threshold)
 
 
 def assign_cells(
@@ -626,15 +866,117 @@ def ivf_index(
     window sort; the index is written bucketed by ``cell`` at scale so probes
     read only matching buckets.
     """
-    cents = _cents_df(df, id_col, vec_col, n_cells, centroids).withColumn(
-        "_centn", norm(F.col("_cent"))
-    )
+    cents_df = _cents_df(df, id_col, vec_col, n_cells, centroids)
+    out = _assign_carry_vectorized(df, id_col, vec_col, cents_df, "cell")
+    if out is not None:
+        return out
+    cents = cents_df.withColumn("_centn", norm(F.col("_cent")))
     # vector norms once per row; centroid norms once per centroid — each of
     # the n_cells assignment scores then costs a single dot fold
     vecs = df.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn")
     )
     return _argmax_carry(vecs, id_col, vec_col, cents, "cell")
+
+
+def _assign_carry_vectorized(
+    df: DataFrame, id_col: str, vec_col: str, cents_df: DataFrame, cell_col: str
+) -> Optional[DataFrame]:
+    """Arrow/numpy rendition of :func:`_argmax_carry` → ``(cell, id, vec)``,
+    bit-identical to the ``max_by(struct)`` form (r7): the tiny centroid
+    table is collected and broadcast, and each task scores its batch with
+    the sequential per-dimension IEEE fold (the established bit-exact
+    replay of :func:`dot`/:func:`norm`), picking ``np.argmax`` per row —
+    first-max ties == the JVM's (max sim, lowest cell), NaN sims win on
+    both engines (Spark orders NaN above all doubles), and rows whose sims
+    are all NULL in the JVM form (NULL vector, NULL element, length
+    mismatch vs the centroid dim) fall to the lowest cell exactly like
+    ``max_by`` over an all-NULL ordering field. Returns ``None`` (caller
+    falls back to the JVM aggregate) for centroid tables the replay can't
+    guarantee — NULL/ragged centroid vectors. Replaces 320k interpreted
+    HOF folds at sf1.0 (~2.8 s → ~0.6 s for the index build).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .dedup import _supersede_broadcast
+
+    spark = df.sparkSession
+    rows = cents_df.collect()
+    if not rows:
+        return None
+    cents = sorted(
+        ((int(r["cell"]), r["_cent"]) for r in rows), key=lambda t: t[0]
+    )
+    vec_lists = [c for _, c in cents]
+    if any(
+        v is None or any(x is None for x in v) for v in vec_lists
+    ) or len({len(v) for v in vec_lists}) != 1:
+        return None
+    cdim = len(vec_lists[0])
+    cmat = np.array([[float(x) for x in v] for v in vec_lists], dtype=np.float64)
+    cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    cn = _np_seq_norms(cmat)
+    bc = _supersede_broadcast(spark, f"ivf_cents:{id_col}", (cell_ids, cmat, cn))
+    id_dt = df.schema[id_col].dataType.simpleString()
+    vec_dt = df.schema[vec_col].dataType.simpleString()
+
+    def assign(batches):
+        cells_b, C, cnorm = bc.value
+        low = int(cells_b[0])
+        for batch in batches:
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            n = len(ids)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=pa.int32()), ids, vecs],
+                    names=[cell_col, "_id", "_vec"],
+                )
+                continue
+            vecs_c = (
+                vecs.combine_chunks() if isinstance(vecs, pa.ChunkedArray) else vecs
+            )
+            pyv = vecs_c.to_pylist()
+            out_cells = np.full(n, low, dtype=np.int64)
+            ok = np.array(
+                [
+                    v is not None and len(v) == C.shape[1] and not any(
+                        x is None for x in v
+                    )
+                    for v in pyv
+                ],
+                dtype=bool,
+            )
+            if ok.any():
+                V = np.array([pyv[i] for i in np.nonzero(ok)[0]], dtype=np.float64)
+                vn = _np_seq_norms(V)
+                acc = np.zeros((V.shape[0], C.shape[0]))
+                for j in range(C.shape[1]):
+                    acc = acc + V[:, j][:, None] * C[:, j][None, :]
+                denom = vn[:, None] * cnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(
+                        denom == 0.0, -1.0, acc / np.where(denom == 0.0, 1.0, denom)
+                    )
+                out_cells[np.nonzero(ok)[0]] = cells_b[np.argmax(sims, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_cells.astype(np.int32)), ids, vecs_c],
+                names=[cell_col, "_id", "_vec"],
+            )
+
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    staged = df.repartition(n_parts).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    out = staged.mapInArrow(
+        assign, f"{cell_col} int, _id {id_dt}, _vec {vec_dt}"
+    )
+    return out.select(
+        F.col(cell_col),
+        F.col("_id").alias(id_col),
+        F.col("_vec").alias(vec_col),
+    )
 
 
 def _cents_df(

@@ -36,9 +36,7 @@ def column_stats(
     for i, c in enumerate(cols):
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"n_{i}"))
-        if exact_distinct:
-            aggs.append(F.count_distinct(col).alias(f"d_{i}"))
-        else:
+        if not exact_distinct:
             aggs.append(F.approx_count_distinct(col, rsd=hll_rsd).alias(f"d_{i}"))
         dt = df.schema[c].dataType
         if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
@@ -48,6 +46,21 @@ def column_stats(
             aggs.append(F.min(col).cast("string").alias(f"mn_{i}"))
             aggs.append(F.max(col).cast("string").alias(f"mx_{i}"))
     wide = df.agg(*aggs)
+    if exact_distinct:
+        # r7: K exact count_distincts in ONE aggregate made Spark EXPAND the
+        # input K+1× (every row replicated per distinct column) — measured
+        # 4.7 s vs 1.1 s at sf1.0/1M rows. Each column instead gets its own
+        # two-level distinct aggregate (map-side partial dedup, tiny final),
+        # cross-joined onto the one-row base agg; count_distinct semantics
+        # (NULLs excluded) preserved exactly.
+        for i, c in enumerate(cols):
+            d = (
+                df.select(c)
+                .where(F.col(c).isNotNull())
+                .distinct()
+                .agg(F.count(F.lit(1)).alias(f"d_{i}"))
+            )
+            wide = wide.crossJoin(d)
 
     rows = F.array(
         *[

@@ -273,6 +273,162 @@ def test_quality_features_barrier_matches_inline_form(spark):
     assert o.exceptAll(n).count() == 0 and n.exceptAll(o).count() == 0
 
 
+def test_simhash64_arrow_bitexact_vs_agg_form(spark):
+    """The Arrow/dictionary simhash must equal the round-6 two-level
+    aggregation bit-for-bit — real data + unicode/duplicate/empty-token
+    fixtures."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_go_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").where(
+        F.col("doc_id") % 7 == 0
+    )
+    old = dd._simhash64_agg(docs, "doc_id", "text")
+    new = dd.simhash64(docs, "doc_id", "text")
+    assert old.exceptAll(new).count() == 0 and new.exceptAll(old).count() == 0
+
+    rows = [
+        (1, "a b a b a"), (2, ""), (3, None), (4, "x"),
+        (5, " spaced  out "), (6, "Héllo wörld é"), (7, "dup dup dup"),
+        (8, "tab\tsep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    old = dd._simhash64_agg(df, "doc_id", "text")
+    new = dd.simhash64(df, "doc_id", "text")
+    assert old.exceptAll(new).count() == 0 and new.exceptAll(old).count() == 0
+    assert old.schema.simpleString() == new.schema.simpleString()
+
+
+def test_ivf_assignment_vectorized_matches_argmax_carry(spark):
+    """The Arrow/numpy cell assignment must equal the max_by(struct) JVM
+    aggregate — real data plus NULL-vector / NULL-element / ragged /
+    all-NaN / zero-norm adversarial vectors (NULL-sim fall-through to the
+    lowest cell, NaN-wins, lowest-cell tie-breaks)."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_go_spark.operators import similarity as sim
+
+    def old_index(df, id_col, vec_col, n_cells=16, centroids=None):
+        cents = sim._cents_df(df, id_col, vec_col, n_cells, centroids).withColumn(
+            "_centn", sim.norm(F.col("_cent"))
+        )
+        vecs = df.select(
+            F.col(id_col), F.col(vec_col), sim.norm(F.col(vec_col)).alias("_vn")
+        )
+        return sim._argmax_carry(vecs, id_col, vec_col, cents, "cell")
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    o = old_index(emb, "vec_id", "embedding")
+    n = sim.ivf_index(emb, "vec_id", "embedding")
+    assert o.schema.simpleString() == n.schema.simpleString()
+    assert o.exceptAll(n).count() == 0 and n.exceptAll(o).count() == 0
+
+    rows = [
+        (0, [1.0] * 8), (1, None), (2, [1.0, None] + [0.5] * 6),
+        (3, [1.0] * 4), (4, [0.0] * 8), (5, [float("nan")] * 8),
+        (6, [-1.0] * 8), (7, [0.5] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0] * 8, [0.5] * 8, [-1.0] * 8]
+    om = {r["vec_id"]: r["cell"] for r in old_index(df, "vec_id", "embedding", centroids=cents).collect()}
+    nm = {r["vec_id"]: r["cell"] for r in sim.ivf_index(df, "vec_id", "embedding", centroids=cents).collect()}
+    assert om == nm
+
+
+def test_lsh_neardup_broadcast_verify_matches_join_form(spark):
+    """The broadcast-lookup candidate verification must equal the
+    join-attached form (forced via max_broadcast_vectors=0) — pairs AND
+    rounded cosines — on the injected-near-dup corpus and on adversarial
+    NULL/ragged/zero-norm vectors."""
+    import struct as _struct
+
+    from jsonschema_go_spark import queries_pipeline as qp
+    from jsonschema_go_spark.operators import similarity as sim
+
+    def key(df):
+        return sorted(
+            (r["id_a"], r["id_b"], _struct.pack("<d", r["cos"])) for r in df.collect()
+        )
+
+    corpus = qp._neardup_corpus(
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    )
+    kw = dict(dim=64, threshold=0.9, bands=16, rows_per_band=12)
+    a = key(sim.lsh_near_dup_pairs(corpus, "vec_id", "embedding", **kw))
+    b = key(
+        sim.lsh_near_dup_pairs(
+            corpus, "vec_id", "embedding", max_broadcast_vectors=0, **kw
+        )
+    )
+    assert a == b and len(a) == 50
+
+    rows = [
+        (0, [1.0] * 8), (1, [1.0] * 8), (2, None), (3, [-1.0] * 8),
+        (4, None), (5, [1.0, None] + [0.0] * 6), (6, [0.0] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    kw8 = dict(dim=8, threshold=0.9, bands=4, rows_per_band=4)
+    a = key(sim.lsh_near_dup_pairs(df, "vec_id", "embedding", **kw8))
+    b = key(sim.lsh_near_dup_pairs(df, "vec_id", "embedding", max_broadcast_vectors=0, **kw8))
+    assert a == b == key(
+        sim.lsh_near_dup_pairs(df, "vec_id", "embedding", max_broadcast_vectors=0, **kw8)
+    )
+
+
+def test_column_stats_exact_distinct_restructure(spark):
+    """Exact-distinct column_stats (per-column two-level distincts instead
+    of the K-way expand) must emit identical rows — nulls included."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_go_spark.operators import stats as st
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    holes = ev.select(
+        F.col("event_id"),
+        F.when(F.col("event_id") % 13 != 0, F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_id") % 11 != 0, F.col("event_type")).alias("event_type"),
+    )
+    cols = ["event_id", "user_id", "event_type"]
+    got = {r["column"]: r for r in st.column_stats(holes, cols, exact_distinct=True).collect()}
+    want = holes.agg(
+        F.count(F.lit(1)).alias("rows"),
+        *[a for c in cols for a in (
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"),
+            F.count_distinct(F.col(c)).alias(f"d_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        )],
+    ).collect()[0]
+    for c in cols:
+        r = got[c]
+        assert r["row_count"] == want["rows"]
+        assert r["null_count"] == want[f"n_{c}"]
+        assert r["distinct_count"] == want[f"d_{c}"]
+        assert r["min_value"] == want[f"mn_{c}"]
+        assert r["max_value"] == want[f"mx_{c}"]
+
+
+def test_shingle_staged_transform_matches_zipwith(spark):
+    """shingle_table / the staged-words transform construction must equal
+    the zip_with word_shingles form exactly across n."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_go_spark.operators import dedup as dd
+
+    rows = [
+        (1, "a b c d"), (2, ""), (3, None), (4, "x"), (5, "p q"),
+        (6, "a  b   c"), (7, " lead trail "), (8, "Héllo wörld naïve é x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, t string")
+    for n in (2, 3, 4):
+        old = df.where(F.col("t").isNotNull()).select(
+            "doc_id", F.explode(dd.word_shingles(F.col("t"), n)).alias("shingle")
+        )
+        new = dd.shingle_table(df, "doc_id", "t", n)
+        assert old.exceptAll(new).count() == 0 and new.exceptAll(old).count() == 0
+
+
 def test_vectorized_neardup_preserves_id_dtype(spark):
     df = spark.createDataFrame(
         [(0, [1.0] * 4), (4, [1.0] * 4)], "vec_id int, embedding array<double>"
