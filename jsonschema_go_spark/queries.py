@@ -916,7 +916,14 @@ def q_kw_object_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     m = F.map_from_entries(F.filter(entries, lambda x: x.isNotNull()))
-    df = _read(spark, sf_dir, "events").select(m.alias("attrs"), m.alias("attrs2"))
+    # r7: construct the map ONCE behind a Generate barrier — the two
+    # aliased projections of `m` each re-ran the whole map_from_entries
+    # construction per row (HOFs are codegen-fallback, so no CSE); attrs2
+    # is now a reference to the same computed column. Values unchanged.
+    staged = _read(spark, sf_dir, "events").select(
+        F.explode(F.array(m)).alias("attrs")
+    )
+    df = staged.select(F.col("attrs"), F.col("attrs").alias("attrs2"))
     tr = TableRule(
         name="derived", columns={"attrs": ATTRS_RULE, "attrs2": ATTRS2_RULE}
     )

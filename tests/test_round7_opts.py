@@ -429,6 +429,42 @@ def test_shingle_staged_transform_matches_zipwith(spark):
         assert old.exceptAll(new).count() == 0 and new.exceptAll(old).count() == 0
 
 
+def test_date_format_arithmetic_matches_parser(spark):
+    """The arithmetic proleptic-Gregorian `date` predicate must equal the
+    round-6 rlike + try_to_timestamp('yyyy-MM-dd') form on an exhaustive
+    month/day sweep across leap-edge years (incl. year 0000 and the 1582
+    cutover — java.time is proleptic), malformed shapes, NULL, and fuzz."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_go_spark.functions.formats import FORMAT_PREDICATES
+
+    def old_date(c):
+        return c.rlike(r"^\d{4}-\d{2}-\d{2}$") & F.try_to_timestamp(
+            c, F.lit("yyyy-MM-dd")
+        ).isNotNull()
+
+    cases = []
+    for y in (0, 1, 4, 96, 100, 396, 400, 1582, 1583, 1600, 1896, 1900, 2000, 2024, 9999):
+        for m in range(0, 15):
+            for d in (0, 1, 28, 29, 30, 31, 32):
+                cases.append(f"{y:04d}-{m:02d}-{d:02d}")
+    random.seed(5)
+    cases += ["", "x", "2024-1-1", "2024-001-01", None, "99999-01-01", "202A-01-01"]
+    cases += ["".join(random.choice("0123456789-x") for _ in range(10)) for _ in range(1000)]
+    df = spark.createDataFrame([(c,) for c in cases], "d string")
+    bad = (
+        df.select(
+            old_date(F.col("d")).alias("o"),
+            FORMAT_PREDICATES["date"](F.col("d")).alias("n"),
+        )
+        .where(~F.col("o").eqNullSafe(F.col("n")))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_vectorized_neardup_preserves_id_dtype(spark):
     df = spark.createDataFrame(
         [(0, [1.0] * 4), (4, [1.0] * 4)], "vec_id int, embedding array<double>"
