@@ -65,20 +65,28 @@ def test_ivf_index_argmax_matches_window_reference(spark, n_cells):
 
 def test_ivf_index_build_plan_no_window(spark):
     """Scale shape of the index build: with explicit centroids the plan has
-    NO Window (no per-id sort-rank of n_cells vector copies) and the argmax
-    aggregate is map-side partial BEFORE the exchange — the shuffle carries
-    one partially-aggregated row per vector, not n_cells copies."""
+    NO Window (no per-id sort-rank of n_cells vector copies). r7: the
+    default path is the broadcast-centroid Arrow argmax map (no aggregate
+    at all); the JVM max_by fallback (taken for centroid tables the numpy
+    replay can't guarantee, here a NULL element) must still run its argmax
+    as a map-side partial aggregate BEFORE the exchange."""
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = [[float((c * 64 + j) % 7 - 3) for j in range(64)] for c in range(16)]
     idx = sim.ivf_index(df, "vec_id", "embedding", centroids=cents)
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "partial_max_by" in plan
-    # partial aggregate must run upstream of (i.e. appear after, in tree
-    # print order: deeper = later lines) ... assert ordering textually:
-    # the Exchange line must come BEFORE the partial_max_by line in the
-    # printed tree (printed top-down from final to partial)
-    assert plan.index("Exchange") < plan.index("partial_max_by")
+    assert "MapInArrow" in plan or "ArrowEval" in plan  # vectorized default
+    # JVM fallback: a default centroid table whose vectors carry a NULL
+    # element (the numpy replay declines) → partial max_by before exchange
+    rows = [(0, [None] + [1.0] * 7), (1, [0.5] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)]
+    df2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx2 = sim.ivf_index(df2, "vec_id", "embedding", n_cells=2)
+    plan2 = idx2._jdf.queryExecution().executedPlan().toString()
+    # (the default _cents_df numbers its <= n_cells seed rows with a tiny
+    # row_number window — pre-existing; the ARGMAX itself must stay a
+    # map-side partial max_by before the exchange, never a window sort)
+    assert "partial_max_by" in plan2
+    assert plan2.index("Exchange") < plan2.index("partial_max_by")
 
 
 def test_connected_components_one_action_per_round(spark):

@@ -377,6 +377,10 @@ def test_word_shingles_zipwith_matches_reference_form(spark, n):
 #: means a deliberate plan change: re-derive and update the pin ALONGSIDE a
 #: bench comparison, never blindly.
 PLAN_PINS = {
+    # r7 re-derivation (alongside the bench comparisons in
+    # OPTIMIZATION_r07.md): heavy stages moved into eagerly-materialized
+    # localCheckpoints and Arrow maps, so the FINAL query plans shrank —
+    # the signature/index work no longer appears in the lazy plan at all.
     "dedup_corpus_end2end": {
         # corpus←clusters + sizes joins (shuffle: ids only) + orderBy; the
         # iterative CC star rounds run eagerly before this plan exists
@@ -384,29 +388,31 @@ PLAN_PINS = {
         "windows": 0, "shuffle_joins": 2,
     },
     "dedup_simhash_pairs": {
-        # two-level signature agg (2) + pigeonhole chunk equi-join (bc) —
-        # NO window, NO shuffle join: cost is arithmetic, not data motion
-        "shuffle_exchanges": 4, "broadcast_joins": 1,
+        # r7: signature agg checkpointed once (was computed per join side);
+        # remaining plan = pigeonhole chunk equi-join (bc) over the
+        # checkpoint + bit_count hamming — NO window, NO shuffle join
+        "shuffle_exchanges": 1, "broadcast_joins": 1,
         "windows": 0, "shuffle_joins": 0,
     },
     "dedup_jaccard_documents": {
-        # shingle self-join under the hot-shingle cap; all joins broadcast
-        # at this sf (AQE re-plans to shuffle joins at scale — the pin is
-        # that NO window and no extra exchange appears)
-        "shuffle_exchanges": 5, "broadcast_joins": 5,
+        # r7: the pair stage is the broadcast-inverted-index Arrow map over
+        # spark.range doc-blocks — no joins, no exchanges, no windows in
+        # the final plan (index build + cap run eagerly at build time)
+        "shuffle_exchanges": 0, "broadcast_joins": 0,
         "windows": 0, "shuffle_joins": 0,
     },
     "dedup_minhash_documents": {
-        # explode→single hash-agg→band equi-join
-        "shuffle_exchanges": 3, "broadcast_joins": 1,
+        # r7: Arrow signature map checkpointed; band explode + equi-join +
+        # distinct + orderBy remain
+        "shuffle_exchanges": 2, "broadcast_joins": 1,
         "windows": 0, "shuffle_joins": 0,
     },
     "ann_ivf_topk_embeddings": {
-        # build side: NO window (r4 max_by argmax fix — separately pinned by
-        # test_ivf_index_build_plan_no_window); the 4 windows here are the
-        # PROBE-side per-query top-k rank over probed-cell candidates only
-        "shuffle_exchanges": 6, "broadcast_joins": 0,
-        "windows": 4, "shuffle_joins": 1,
+        # r7: index assignment is an Arrow map (no window; separately
+        # pinned by test_ivf_index_build_plan_no_window); windows are the
+        # probe-side and final per-query top-k ranks only
+        "shuffle_exchanges": 1, "broadcast_joins": 1,
+        "windows": 3, "shuffle_joins": 0,
     },
 }
 
