@@ -386,11 +386,17 @@ def _map_keyword_preds(rule: Rule, c: str, inner: str = "scalar") -> List[tuple]
                 f"(len(list_filter({extra}, k -> NOT coalesce({sub}, TRUE))) = 0)",
             ))
     for pat, s in sorted((rule.pattern_properties or {}).items()):
+        # r7 (ADVICE r6, high): the loop previously REASSIGNED `inner` (the
+        # elem-type hint parameter) to this SQL fragment, so a second
+        # patternProperties pattern — and any schema `dependencies`
+        # rendered below — received a garbage hint and silently dropped
+        # typed value sub-predicates. Local name; regression-tested with
+        # two patterns + a typed schema dependency.
         sub = sql_pred(s, "e.value", inner)
-        inner = f"((NOT regexp_matches(e.key, {_q(pat)})) OR coalesce({sub}, TRUE))"
+        entry_pred = f"((NOT regexp_matches(e.key, {_q(pat)})) OR coalesce({sub}, TRUE))"
         out.append((
             "patternProperties",
-            f"(len(list_filter(map_entries({c}), e -> NOT coalesce({inner}, TRUE))) = 0)",
+            f"(len(list_filter(map_entries({c}), e -> NOT coalesce({entry_pred}, TRUE))) = 0)",
         ))
     if rule.property_names is not None:
         # keys are strings: compile.py passes T.StringType() here

@@ -140,6 +140,19 @@ _dep_schema = st.fixed_dictionaries(
     optional={
         "minProperties": st.integers(1, 3),
         "required": st.lists(st.sampled_from(_MAP_KEYS), min_size=1, max_size=2, unique=True),
+        # r7 (ADVICE r6): typed value sub-rules, so a corrupted elem-type
+        # hint reaching a schema dependency is OBSERVABLE (the r6 fuzzer
+        # could not see the patternProperties `inner`-shadowing bug)
+        # a typed residue (`type: integer` → stringly-shape regex under a
+        # string hint, static elision under an integer hint) is exactly the
+        # observable a corrupted elem-type hint erases — numeric COMPARES on
+        # string values stay out (engine-divergent binding, by design)
+        "properties": st.dictionaries(
+            st.sampled_from(_MAP_KEYS),
+            st.fixed_dictionaries({"type": st.just("integer")}),
+            min_size=1,
+            max_size=2,
+        ),
     },
 )
 
@@ -158,7 +171,7 @@ _map_scalars = st.fixed_dictionaries(
         ),
         "additionalProperties": st.one_of(st.booleans(), _string_sub),
         "patternProperties": st.dictionaries(
-            st.sampled_from(_PATTERNS), _string_sub, min_size=1, max_size=1
+            st.sampled_from(_PATTERNS), _string_sub, min_size=1, max_size=2
         ),
         # keys are strings too — compile checks propertyNames subs against
         # StringType, so stringly casts apply there as well
@@ -190,7 +203,7 @@ _int_map_scalars = st.fixed_dictionaries(
         ),
         "additionalProperties": st.one_of(st.booleans(), _int_scalars),
         "patternProperties": st.dictionaries(
-            st.sampled_from(_PATTERNS), _int_scalars, min_size=1, max_size=1
+            st.sampled_from(_PATTERNS), _int_scalars, min_size=1, max_size=2
         ),
         "propertyNames": _string_sub,
         "dependencies": st.dictionaries(

@@ -465,6 +465,73 @@ def test_date_format_arithmetic_matches_parser(spark):
     assert bad == 0
 
 
+def test_patternproperties_hint_not_clobbered(spark):
+    """ADVICE r6 (high): the patternProperties loop in the map-keyword
+    oracle reassigned the `inner` elem-type hint to a SQL fragment, so a
+    SECOND pattern's typed value sub-predicate — and any schema
+    `dependencies` rendered after the loop — silently degraded to TRUE.
+    Parity over a typed map with TWO patternProperties patterns (the
+    second with a typed value rule that must bite) plus a typed schema
+    dependency."""
+    import duckdb
+    import pyarrow as pa
+
+    from jsonschema_go_spark.compile import compile_table
+    from jsonschema_go_spark.oracle import check_preds_sql
+    from jsonschema_go_spark.rules import Rule, TableRule
+
+    doc = {
+        "type": "object",
+        "patternProperties": {
+            "^x": {"maxLength": 1},
+            "^n": {"type": "integer"},  # typed residue — dropped by the bug
+        },
+        "dependencies": {"b": {"minProperties": 2, "required": ["n1"]}},
+    }
+    values = [
+        {"x1": "z", "n1": "5"},        # all pass
+        {"n1": "notanint"},            # second pattern's type check fails
+        {"b": "1"},                    # dependency fails (1 key, no n1)
+        {"b": "1", "n1": "3", "x9": "toolong"},  # first pattern fails
+        None,
+    ]
+    tr = TableRule(name="t", columns={"m": Rule.from_dict(doc)})
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, m map<string,string>"
+    )
+    plan = compile_table(tr, df.schema)
+    preds = check_preds_sql(tr, {"m": "map<string>"})
+    assert [c.rule_id for c in preds] == plan.rule_ids and plan.rule_ids
+    got = {
+        r[0]: tuple(bool(v) if v is not None else None for v in r[1:])
+        for r in plan.flags(df, ["id"]).collect()
+    }
+    con = duckdb.connect()
+    arrow_vals = [
+        None if v is None else list(v.items()) for v in values
+    ]
+    con.register(
+        "t",
+        pa.table(
+            {
+                "id": pa.array(range(len(values)), pa.int64()),
+                "m": pa.array(arrow_vals, pa.map_(pa.string(), pa.string())),
+            }
+        ),
+    )
+    sel = ", ".join(f"({c.pred}) AS p{k}" for k, c in enumerate(preds))
+    want = {
+        r[0]: tuple(bool(v) if v is not None else None for v in r[1:])
+        for r in con.sql(f"SELECT id, {sel} FROM t ORDER BY id").fetchall()
+    }
+    con.close()
+    assert got == want
+    # and at least one row must actually FAIL the second pattern's typed
+    # check on both engines (the bug made it vacuously TRUE)
+    flat = [v for r in want.values() for v in r]
+    assert False in flat
+
+
 def test_vectorized_neardup_preserves_id_dtype(spark):
     df = spark.createDataFrame(
         [(0, [1.0] * 4), (4, [1.0] * 4)], "vec_id int, embedding array<double>"
